@@ -1,0 +1,274 @@
+package graft.html
+
+import graft.model._
+import scala.collection.mutable.ArrayBuffer
+
+/** DOM → DocModel with Boilerpipe/Trafilatura-style block scoring
+  * (the reference delegates this to docling's layout models at
+  * transcribe.py:103; here it is deterministic text-density/link-density
+  * heuristics — the north-rule spec).
+  *
+  * Pipeline: prune structural boilerplate containers (nav/header/footer/
+  * aside + class/id/role heuristics) → segment remaining DOM into atomic
+  * blocks (heading / paragraph / list / table / code) → score each block by
+  * word count and link density → keep content blocks.
+  *
+  * Scoring rules (frozen, golden-pinned):
+  *  - headings kept when they have ≥1 word AND are followed by kept content
+  *    at extraction level (we keep all headings with words; empty dropped);
+  *  - paragraph kept iff words ≥ 3 and linkDensity ≤ 0.33, OR
+  *    words ≥ 30 and linkDensity ≤ 0.55 (long blocks tolerate more links);
+  *  - list kept iff overall linkDensity ≤ 0.5 (nav menus are link lists);
+  *  - table kept iff cell linkDensity ≤ 0.5 (layout/nav tables dropped);
+  *  - code blocks always kept.
+  */
+object BlockExtractor {
+
+  private val BoilerplateTags = Set("nav", "header", "footer", "aside", "form", "button", "select", "label", "dialog", "menu")
+
+  private val BoilerplateMarkers = Array(
+    "nav", "menu", "footer", "header", "sidebar", "side-bar", "banner",
+    "breadcrumb", "advert", "-ad-", "ad-slot", "ads", "cookie", "consent",
+    "share", "social", "related", "promo", "popup", "subscribe", "newsletter",
+    "comment", "widget", "masthead", "pagination", "skip-link", "toolbar")
+
+  private val BoilerplateRoles = Set("navigation", "banner", "contentinfo", "complementary", "search", "menu", "menubar", "toolbar")
+
+  private val HeadingTags = Map("h1" -> 1, "h2" -> 2, "h3" -> 3, "h4" -> 4, "h5" -> 5, "h6" -> 6)
+
+  private val InlineTags = Set(
+    "a", "b", "strong", "i", "em", "u", "s", "small", "span", "code", "abbr",
+    "cite", "q", "sub", "sup", "mark", "time", "kbd", "samp", "var", "br",
+    "img", "wbr", "data", "bdi", "bdo", "ins", "del", "font", "big", "tt")
+
+  /** Extract the document model from parsed HTML. `name` = title fallback. */
+  def extract(root: Element, fallbackName: String): DocModel = {
+    val title = findTitle(root)
+    val blocks = ArrayBuffer.empty[Block]
+    walk(root, blocks, insideBoiler = false)
+    val kept = blocks.toVector
+    DocModel(
+      name = title.getOrElse(fallbackName),
+      docType = DocumentType.Html,
+      pageCount = 1,
+      blocks = kept,
+    )
+  }
+
+  def findTitle(root: Element): Option[String] = {
+    def rec(e: Element): Option[String] = {
+      e.children.iterator.collectFirst {
+        case el: Element if el.name == "title" =>
+          Some(normalizeWs(rawText(el))).filter(_.nonEmpty)
+        case el: Element if el.name == "head" || el.name == "html" || el.name == "#root" =>
+          rec(el)
+      }.flatten match {
+        case some @ Some(_) => some
+        case None =>
+          e.children.iterator.collect { case el: Element => el }.flatMap(rec(_)).nextOption()
+      }
+    }
+    rec(root)
+  }
+
+  private def isBoilerplateContainer(e: Element): Boolean = {
+    if (BoilerplateTags.contains(e.name)) return true
+    e.attr("role").exists(r => BoilerplateRoles.contains(r.toLowerCase)) || {
+      val marker = (e.attr("class").getOrElse("") + " " + e.attr("id").getOrElse("")).toLowerCase
+      marker.nonEmpty && BoilerplateMarkers.exists(marker.contains)
+    }
+  }
+
+  private def walk(e: Element, out: ArrayBuffer[Block], insideBoiler: Boolean): Unit = {
+    if (insideBoiler) return
+    // pending inline run directly under this container (div/section/body text)
+    val inlineRun = ArrayBuffer.empty[Node]
+    def flushInline(): Unit = {
+      if (inlineRun.nonEmpty) {
+        emitPara(inlineRun, out)
+        inlineRun.clear()
+      }
+    }
+
+    e.children.foreach {
+      case t: TextNode => inlineRun += t
+      case el: Element if InlineTags.contains(el.name) => inlineRun += el
+      case el: Element =>
+        flushInline()
+        if (!isBoilerplateContainer(el)) {
+          el.name match {
+            case h if HeadingTags.contains(h) =>
+              val txt = renderInline(el.children)
+              if (countWords(txt) >= 1) out += HeadingBlock(HeadingTags(h), txt)
+            case "p" | "blockquote" | "figcaption" | "caption" | "dd" | "dt" | "address" | "summary" | "details" =>
+              emitPara(el.children, out)
+            case "ul" | "ol" =>
+              emitList(el, out)
+            case "pre" =>
+              val txt = rawText(el).replaceAll("^\n+|\n+$", "")
+              if (txt.trim.nonEmpty) out += CodeBlock(txt)
+            case "table" =>
+              emitTable(el, out)
+            case "title" | "head" => // metadata only
+            case _ =>
+              walk(el, out, insideBoiler = false)
+          }
+        }
+    }
+    flushInline()
+  }
+
+  private def emitPara(nodes: collection.Seq[Node], out: ArrayBuffer[Block]): Unit = {
+    val txt = renderInline(nodes)
+    val words = countWords(stripInlineMd(txt))
+    if (words == 0) return
+    val ld = linkDensity(nodes)
+    val keep = (words >= 3 && ld <= 0.33) || (words >= 30 && ld <= 0.55)
+    if (keep) out += ParaBlock(txt)
+  }
+
+  private def emitList(el: Element, out: ArrayBuffer[Block]): Unit = {
+    val ordered = el.name == "ol"
+    val items = el.children.collect {
+      case li: Element if li.name == "li" => renderInline(li.children)
+    }.filter(_.nonEmpty).toVector
+    if (items.isEmpty) return
+    val ld = linkDensity(el.children)
+    if (ld <= 0.5) out += ListBlock(ordered, items)
+  }
+
+  private def emitTable(el: Element, out: ArrayBuffer[Block]): Unit = {
+    // collect rows from optional thead/tbody/tfoot nesting
+    val rows = ArrayBuffer.empty[(Boolean, Vector[String])] // (isHeaderRow, cells)
+    def collectRows(e: Element): Unit = e.children.foreach {
+      case tr: Element if tr.name == "tr" =>
+        val cells = tr.children.collect {
+          case c: Element if c.name == "td" || c.name == "th" => (c.name == "th", cellText(c))
+        }
+        if (cells.nonEmpty) rows += ((cells.forall(_._1), cells.map(_._2).toVector))
+      case sec: Element if Set("thead", "tbody", "tfoot").contains(sec.name) => collectRows(sec)
+      case _ =>
+    }
+    collectRows(el)
+    if (rows.isEmpty) return
+    if (linkDensity(el.children) > 0.5) return // nav/layout table
+    val (headers, dataRows) =
+      if (rows.head._1) (rows.head._2, rows.tail.map(_._2).toVector)
+      else (Vector.empty[String], rows.map(_._2).toVector)
+    if (headers.isEmpty && dataRows.isEmpty) return
+    out += TableBlock(headers, dataRows, page = None)
+  }
+
+  /** Cell text: plain (no markdown inline markers), whitespace-normalized. */
+  private def cellText(e: Element): String = normalizeWs(rawText(e))
+
+  /** Render an inline run to markdown-span text: **b**, *i*, `code`,
+    * [text](href); whitespace collapsed; NBSP already normalized by the
+    * entity decoder. */
+  def renderInline(nodes: collection.Seq[Node]): String = {
+    val sb = new StringBuilder
+    def rec(node: Node): Unit = node match {
+      case TextNode(t) => sb.append(t)
+      case el: Element => el.name match {
+        case "br" => sb.append(' ')
+        case "img" => // extract_images=false default: images skipped
+        case "b" | "strong" =>
+          val inner = renderInlineOf(el)
+          if (inner.nonEmpty) { sb.append("**").append(inner).append("**") }
+        case "i" | "em" =>
+          val inner = renderInlineOf(el)
+          if (inner.nonEmpty) { sb.append('*').append(inner).append('*') }
+        case "code" | "kbd" | "samp" | "tt" =>
+          val inner = renderInlineOf(el)
+          if (inner.nonEmpty) { sb.append('`').append(inner).append('`') }
+        case "a" =>
+          val inner = renderInlineOf(el)
+          el.attr("href").filter(h => h.nonEmpty && !h.startsWith("#") && !h.startsWith("javascript:")) match {
+            case Some(href) if inner.nonEmpty => sb.append('[').append(inner).append("](").append(href).append(')')
+            case _ => sb.append(inner)
+          }
+        case "sub" | "sup" | "span" | "u" | "s" | "small" | "abbr" | "cite" | "q" | "mark" |
+             "time" | "var" | "data" | "bdi" | "bdo" | "ins" | "del" | "font" | "big" =>
+          el.children.foreach(rec)
+        case _ => // block element inside inline run (malformed) — recurse text
+          el.children.foreach(rec)
+      }
+    }
+    def renderInlineOf(el: Element): String = {
+      val saved = sb.length
+      el.children.foreach(rec)
+      val inner = sb.substring(saved)
+      sb.setLength(saved)
+      normalizeWs(inner)
+    }
+    nodes.foreach(rec)
+    normalizeWs(sb.toString)
+  }
+
+  /** Plain text of a subtree (no markers), whitespace preserved for pre. */
+  def rawText(e: Element): String = {
+    val sb = new StringBuilder
+    def rec(node: Node): Unit = node match {
+      case TextNode(t) => sb.append(t)
+      case el: Element =>
+        if (el.name == "br") sb.append('\n')
+        el.children.foreach(rec)
+    }
+    e.children.foreach(rec)
+    sb.toString
+  }
+
+  def normalizeWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') {
+        pendingSpace = started
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        started = true
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def countWords(s: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n'
+      if (!ws && !inWord) { count += 1; inWord = true }
+      else if (ws) inWord = false
+      i += 1
+    }
+    count
+  }
+
+  /** Strip our inline markdown spans for word counting. */
+  private def stripInlineMd(s: String): String =
+    s.replace("**", "").replace("*", "").replace("`", "")
+
+  /** Fraction of words inside <a> elements over total words in the run. */
+  private def linkDensity(nodes: collection.Seq[Node]): Double = {
+    var total = 0
+    var linked = 0
+    def rec(node: Node, inLink: Boolean): Unit = node match {
+      case TextNode(t) =>
+        val w = countWords(t)
+        total += w
+        if (inLink) linked += w
+      case el: Element =>
+        val link = inLink || el.name == "a"
+        el.children.foreach(rec(_, link))
+    }
+    nodes.foreach(rec(_, inLink = false))
+    if (total == 0) 0.0 else linked.toDouble / total
+  }
+}

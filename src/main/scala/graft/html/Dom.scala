@@ -1,0 +1,115 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal mutable DOM. Recursive, so intentionally NOT product-encodable —
+  * it lives entirely inside one mapPartitions call (SURVEY.md §7.2) and is
+  * Kryo-registered only for closure/spill safety.
+  */
+sealed trait Node extends Serializable
+final case class TextNode(var text: String) extends Node
+final class Element(
+    val name: String,
+    val attrs: List[(String, String)],
+    val children: ArrayBuffer[Node] = ArrayBuffer.empty,
+) extends Node {
+  def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
+  override def toString: String = s"<$name>(${children.size})"
+}
+
+/** Forgiving tree construction over the token stream — an HTML5
+  * insertion-mode subset: void elements, auto-close of p/li/td/th/tr,
+  * unmatched end tags ignored, misnesting recovered by popping to the
+  * nearest matching open element.
+  */
+object TreeBuilder {
+
+  private val Void = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr")
+
+  private val BlockLevel = Set(
+    "address", "article", "aside", "blockquote", "div", "dl", "dd", "dt",
+    "fieldset", "figure", "figcaption", "footer", "form", "h1", "h2", "h3",
+    "h4", "h5", "h6", "header", "hr", "main", "nav", "ol", "p", "pre",
+    "section", "table", "ul", "li")
+
+  /** Tags whose content we will never render — dropped at build time so the
+    * tree stays small on script/style/svg-heavy pages. */
+  private val DropSubtree = Set("script", "style", "noscript", "template", "svg", "iframe", "object", "applet")
+
+  def build(tokens: Iterator[HtmlTokenizer.Tok]): Element = {
+    val root = new Element("#root", Nil)
+    val stack = ArrayBuffer[Element](root)
+    var dropDepth = 0 // >0 while inside a DropSubtree element
+    var dropTag: String = null
+
+    @inline def top: Element = stack.last
+
+    def closeUpTo(name: String): Boolean = {
+      var k = stack.length - 1
+      while (k >= 1) {
+        if (stack(k).name == name) {
+          stack.dropRightInPlace(stack.length - k)
+          return true
+        }
+        k -= 1
+      }
+      false
+    }
+
+    /** Close `target` if it is open above any element in `fence`. */
+    def autoClose(target: String, fence: Set[String]): Unit = {
+      var k = stack.length - 1
+      while (k >= 1) {
+        val nm = stack(k).name
+        if (nm == target) { stack.dropRightInPlace(stack.length - k); return }
+        if (fence.contains(nm)) return
+        k -= 1
+      }
+    }
+
+    tokens.foreach {
+      case HtmlTokenizer.Text(t) =>
+        if (dropDepth == 0 && t.nonEmpty) {
+          top.children += TextNode(t)
+        }
+
+      case HtmlTokenizer.StartTag(name, attrs, selfClosing) =>
+        if (dropDepth > 0) {
+          if (name == dropTag) dropDepth += 1
+        } else if (DropSubtree.contains(name)) {
+          if (!selfClosing) { dropDepth = 1; dropTag = name }
+        } else {
+          // auto-close rules
+          if (name == "p" || (BlockLevel.contains(name) && name != "li")) {
+            autoClose("p", Set("table", "td", "th", "ul", "ol", "li", "blockquote", "div", "section", "article"))
+          }
+          if (name == "li") autoClose("li", Set("ul", "ol"))
+          if (name == "td" || name == "th") {
+            autoClose("td", Set("tr", "table")); autoClose("th", Set("tr", "table"))
+          }
+          if (name == "tr") {
+            autoClose("td", Set("tr", "table")); autoClose("th", Set("tr", "table"))
+            autoClose("tr", Set("table"))
+          }
+          val el = new Element(name, attrs)
+          top.children += el
+          if (!selfClosing && !Void.contains(name)) stack += el
+        }
+
+      case HtmlTokenizer.EndTag(name) =>
+        if (dropDepth > 0) {
+          if (name == dropTag) {
+            dropDepth -= 1
+            if (dropDepth == 0) dropTag = null
+          }
+        } else if (!Void.contains(name)) {
+          closeUpTo(name) // ignored when not open
+        }
+    }
+    root
+  }
+
+  def parse(html: String): Element = build(HtmlTokenizer.tokenize(html))
+}
