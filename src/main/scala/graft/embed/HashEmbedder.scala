@@ -1,0 +1,75 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic 384-d hashed-n-gram embedding — the offline drop-in for the
+  * reference's sentence-transformers MiniLM (app/embeddings.py:51-150;
+  * 384-d per docs/CONFIGURATION.md:58). Envelope semantics preserved:
+  *  - blank text → exact zero vector (embeddings.py:61-62, 99-109);
+  *  - fixed dimension 384; L2-normalized otherwise;
+  *  - batch API mirrors generate_embeddings.
+  * Feature map: lowercased word unigrams + char trigrams, hashed with
+  * MurmurHash3 (stable across JVMs) into signed buckets (feature hashing).
+  */
+object HashEmbedder {
+
+  val Dim = 384
+  private val SeedWord = 0x9747b28c
+  private val SeedTri = 0x1b873593
+
+  def isBlank(text: String): Boolean = {
+    if (text == null) return true
+    var i = 0
+    while (i < text.length) {
+      if (!graft.core.PyStr.isPySpace(text.charAt(i))) return false
+      i += 1
+    }
+    true
+  }
+
+  def embed(text: String): Array[Float] = {
+    val v = new Array[Float](Dim)
+    if (isBlank(text)) return v // zero vector for blank (reference semantics)
+    val lower = text.toLowerCase
+    // word unigrams
+    var start = -1
+    var i = 0
+    val n = lower.length
+    while (i <= n) {
+      val isLetter = i < n && Character.isLetterOrDigit(lower.charAt(i))
+      if (isLetter && start < 0) start = i
+      else if (!isLetter && start >= 0) {
+        addFeature(v, MurmurHash3.stringHash(lower.substring(start, i), SeedWord))
+        start = -1
+      }
+      i += 1
+    }
+    // char trigrams over the raw lowered text
+    i = 0
+    while (i + 3 <= n) {
+      addFeature(v, MurmurHash3.stringHash(lower.substring(i, i + 3), SeedTri))
+      i += 1
+    }
+    l2normalize(v)
+    v
+  }
+
+  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+
+  @inline private def addFeature(v: Array[Float], h: Int): Unit = {
+    val idx = java.lang.Math.floorMod(h, Dim)
+    val sign = if ((h & 0x80000000) != 0) -1f else 1f
+    v(idx) += sign
+  }
+
+  private def l2normalize(v: Array[Float]): Unit = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    if (s > 0) {
+      val inv = (1.0 / math.sqrt(s)).toFloat
+      i = 0
+      while (i < v.length) { v(i) *= inv; i += 1 }
+    }
+  }
+}

@@ -28,7 +28,7 @@ object Entities {
     var i = s.indexOf('&')
     if (i < 0) return s
     val sb = new StringBuilder(s.length)
-    sb.append(s, 0, i)
+    sb.append(s.substring(0, i))
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)

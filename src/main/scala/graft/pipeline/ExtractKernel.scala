@@ -1,0 +1,192 @@
+package graft.pipeline
+
+import graft.chunk.Chunker
+import graft.embed.HashEmbedder
+import graft.export._
+import graft.html.{BlockExtractor, TreeBuilder}
+import graft.model._
+import graft.pdf.PdfParser
+import org.apache.spark.sql.{Dataset, SparkSession}
+import java.sql.Timestamp
+
+/** The per-document conversion pipeline (reference single-task lifecycle,
+  * app/tasks.py:36-185) as a typed `Dataset[Page] → mapPartitions →
+  * Dataset[ExtractResult]` kernel:
+  *  - type detect (T1) → parse (HTML tokenizer/DOM/scorer or PDF subset
+  *    parser) → export per output_format (T3-T6) → tables (T7) → chunks
+  *    (T8/T9) → optional embeddings (T10) → metadata (T11) → envelope (O1);
+  *  - per-row try/catch: data errors become status='failed' rows with the
+  *    error envelope (O2, app/tasks.py:141-180) — a bad document never
+  *    kills the job; Spark task retries cover infra errors;
+  *  - per-row wall-clock guard (the 540s/900s Celery limit analog,
+  *    app/worker.py:36-37): rows exceeding `timeoutMs` report failed;
+  *  - deterministic task_id: UUIDv5-style name UUID of the url — replays
+  *    and retries produce identical ids (idempotent commits need this;
+  *    the reference's uuid4 at utils.py:57-59 is the one non-deterministic
+  *    piece we must not copy).
+  * Catalyst note: the kernel is opaque to the optimizer, so column pruning
+  * must happen BEFORE entering object land — callers select only the Page
+  * columns; everything downstream of the kernel is relational again.
+  */
+object ExtractKernel {
+
+  /** Per-row hard time budget (ms). The reference allows 540 s soft / 900 s
+    * hard per document; our non-ML kernel gets a much tighter default. */
+  val DefaultTimeoutMs: Long = 60000L
+
+  def taskIdFor(url: String): String =
+    java.util.UUID.nameUUIDFromBytes(("graft:" + url).getBytes("UTF-8")).toString
+
+  def extract(pages: Dataset[Page], options: ConversionOptions, timeoutMs: Long = DefaultTimeoutMs)(
+      implicit spark: SparkSession): Dataset[ExtractResult] = {
+    import spark.implicits._
+    val optsB = spark.sparkContext.broadcast(options)
+    pages.mapPartitions { it =>
+      val opts = optsB.value
+      it.map(p => extractOne(p, opts, timeoutMs))
+    }
+  }
+
+  /** Pure per-row conversion — independent of partitioning and parallelism. */
+  def extractOne(page: Page, opts: ConversionOptions, timeoutMs: Long = DefaultTimeoutMs): ExtractResult = {
+    val t0 = System.currentTimeMillis()
+    val taskId = taskIdFor(page.url)
+    val createdAt = new Timestamp(t0)
+    val filename = filenameFromUrl(page.url)
+    try {
+      val docType = TypeDetector.detect(page.html, page.url)
+      val doc: DocModel = docType match {
+        case DocumentType.Html =>
+          val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+          BlockExtractor.extract(TreeBuilder.parse(html), filename)
+        case DocumentType.Pdf =>
+          PdfParser.parse(page.html, filename)
+        case DocumentType.Md =>
+          // markdown payload: single pre-rendered block passthrough
+          val md = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
+          DocModel(filename, DocumentType.Md, 1, Vector(ParaBlock(md)))
+        case other =>
+          throw new UnsupportedOperationException(s"document_type $other not extractable offline")
+      }
+
+      if (System.currentTimeMillis() - t0 > timeoutMs)
+        throw new IllegalStateException(s"per-row time limit ${timeoutMs}ms exceeded")
+
+      val md = MarkdownSerializer.serialize(doc)
+      val content = opts.outputFormat match {
+        case OutputFormat.Markdown => md
+        case OutputFormat.Text => TextExporter.stripMarkdown(md)
+        case OutputFormat.Json => JsonSerializer.serialize(doc)
+        case OutputFormat.DocTags => DocTagsSerializer.serialize(doc)
+        case _ => md
+      }
+
+      val tables: Seq[TableData] =
+        if (opts.extractTables) extractTables(doc) else Seq.empty
+
+      val chunks: Seq[Chunk] = {
+        val raw = Chunker.chunkText(content, opts.chunkSize, opts.chunkOverlap)
+        raw.zipWithIndex.map { case (rc, idx) =>
+          Chunk(
+            id = Chunker.chunkId(taskId, idx),
+            content = rc.text,
+            chunk_index = idx,
+            char_start = rc.start,
+            char_end = rc.end,
+            chunk_size = rc.text.length,
+            embedding = if (opts.generateEmbeddings) HashEmbedder.embed(rc.text) else Array.empty[Float],
+          )
+        }
+      }
+
+      val completed = System.currentTimeMillis()
+      ExtractResult(
+        url = page.url,
+        task_id = taskId,
+        status = TaskStatus.Completed,
+        filename = filename,
+        document_type = docType,
+        content = content,
+        chunks = chunks,
+        tables = tables,
+        metadata = Map(
+          "title" -> doc.name,
+          "page_count" -> doc.pageCount.toString,
+          "filename" -> filename,
+          "mimetype" -> mimeFor(docType),
+          "lang" -> page.lang,
+        ),
+        page_count = doc.pageCount,
+        processing_time_ms = completed - t0,
+        error = None,
+        created_at = createdAt,
+        completed_at = Some(new Timestamp(completed)),
+      )
+    } catch {
+      case e: Throwable =>
+        // error envelope (O2): same shape, failed status, nulls elsewhere
+        val completed = System.currentTimeMillis()
+        ExtractResult(
+          url = page.url,
+          task_id = taskId,
+          status = TaskStatus.Failed,
+          filename = filename,
+          document_type = null,
+          content = null,
+          chunks = Seq.empty,
+          tables = Seq.empty,
+          metadata = Map.empty,
+          page_count = 0,
+          processing_time_ms = completed - t0,
+          error = Some(String.valueOf(e.getMessage)),
+          created_at = createdAt,
+          completed_at = Some(new Timestamp(completed)),
+        )
+    }
+  }
+
+  /** Table flattening (T7, app/transcribe.py:195-229): all cells already
+    * stringified by the parsers; per-table failures skipped. */
+  private def extractTables(doc: DocModel): Seq[TableData] =
+    doc.blocks.zipWithIndex.collect { case (t: TableBlock, idx) =>
+      try {
+        Some(TableData(
+          id = s"table_$idx",
+          page = t.page,
+          headers = t.headers,
+          rows = t.rows,
+          markdown = MarkdownSerializer.renderTable(t),
+        ))
+      } catch { case _: Throwable => None }
+    }.flatten
+
+  def filenameFromUrl(url: String): String = {
+    val noFrag = url.indexOf('#') match { case -1 => url; case k => url.substring(0, k) }
+    val noQuery = noFrag.indexOf('?') match { case -1 => noFrag; case k => noFrag.substring(0, k) }
+    val schemeEnd = noQuery.indexOf("://")
+    val path = if (schemeEnd >= 0) {
+      val after = noQuery.substring(schemeEnd + 3)
+      after.indexOf('/') match { case -1 => ""; case k => after.substring(k) }
+    } else noQuery
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    if (name.isEmpty) "document" else sanitizeFilename(name)
+  }
+
+  /** Filename sanitize (T13, app/utils.py:220-225). */
+  def sanitizeFilename(filename: String): String = {
+    var f = filename
+    for (bad <- Seq("/", "\\", "\u0000", "..", ":")) f = f.replace(bad, "_")
+    if (f.length > 255) f.substring(0, 255) else f
+  }
+
+  private def mimeFor(docType: String): String = docType match {
+    case DocumentType.Pdf => "application/pdf"
+    case DocumentType.Html => "text/html"
+    case DocumentType.Md => "text/markdown"
+    case DocumentType.Docx => "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    case DocumentType.Pptx => "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+    case DocumentType.Xlsx => "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    case DocumentType.Image => "image/unknown"
+    case _ => "application/octet-stream"
+  }
+}

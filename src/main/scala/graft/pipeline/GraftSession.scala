@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard conf: AQE + skew join on,
+  * Kryo with registered kernel classes, UTC, shuffle partitions sized for
+  * the local core count (never the 200 default).
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrationRequired", "false")
+      .config("spark.kryo.classesToRegister", Seq(
+        classOf[graft.model.Page],
+        classOf[graft.model.ExtractResult],
+        classOf[graft.model.Chunk],
+        classOf[graft.model.TableData],
+        classOf[graft.model.DocModel],
+        classOf[graft.model.HeadingBlock],
+        classOf[graft.model.ParaBlock],
+        classOf[graft.model.ListBlock],
+        classOf[graft.model.TableBlock],
+        classOf[graft.model.CodeBlock],
+        classOf[graft.html.Element],
+        classOf[graft.html.TextNode],
+      ).map(_.getName).mkString(","))
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int): SparkSession = {
+    val s = builder(s"local[$cores]", math.max(cores, 1)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
