@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.model.{ConversionOptions, Page}
+import graft.table.LineageTable
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The resumable extraction job: pages → (latest-crawl dedup) → deterministic
+  * url-hash buckets → per-wave extract + commit → snapshot.
+  *
+  * Commit protocol (north rule "checkpointed resume"):
+  *  - work unit = url-hash bucket (stable across runs/partitionings — NEVER
+  *    Spark task ids); waves of `bucketsPerWave` buckets run as one Spark
+  *    job each;
+  *  - a wave writes its results parquet (partitioned by bucket for
+  *    downstream partition pruning), then its lineage parquet, then one
+  *    marker file per bucket — markers last, so a crash mid-wave leaves no
+  *    marker and the rerun redoes the whole wave (at-least-once, idempotent
+  *    because output paths are keyed by wave id and overwritten);
+  *  - rerunning the same (table, runId) skips all marked buckets: a killed
+  *    job never re-extracts completed partitions;
+  *  - after the last wave, a snapshot manifest is committed atomically.
+  *
+  * Scale notes: buckets give the resume granularity (64 default here;
+  * thousands at 100 TB so a lost wave is bounded); within a wave the skew
+  * repartitioner spreads size classes uniformly across cores, and AQE
+  * handles residual imbalance. The only shuffle per wave is that one
+  * repartition — extraction itself is map-side.
+  */
+object ExtractJob {
+
+  final case class Config(
+      root: String,
+      runId: String,
+      numBuckets: Int = 64,
+      bucketsPerWave: Int = 16,
+      options: ConversionOptions = ConversionOptions(),
+      dedupLatestCrawl: Boolean = true,
+      timeoutMs: Long = ExtractKernel.DefaultTimeoutMs,
+  )
+
+  final case class Report(snapshotId: Long, wavesRun: Int, bucketsSkipped: Int, bucketsRun: Int)
+
+  /** Hook for tests: invoked after each committed wave (wave index). */
+  type WaveHook = Int => Unit
+
+  def run(spark: SparkSession, pages: Dataset[Page], cfg: Config, afterWave: WaveHook = _ => ()): Report = {
+    import spark.implicits._
+    val table = new LineageTable(cfg.root, cfg.numBuckets)
+
+    val deduped: Dataset[Page] =
+      if (cfg.dedupLatestCrawl) {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+        pages.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn").as[Page]
+      } else pages
+
+    val withBucket = deduped
+      .withColumn("_bucket", pmod(xxhash64($"url"), lit(cfg.numBuckets)).cast("int"))
+
+    val done = table.doneBuckets(cfg.runId)
+    val pending = (0 until cfg.numBuckets).filterNot(done.contains)
+    val waves = pending.grouped(cfg.bucketsPerWave).toVector
+
+    var waveIdx = 0
+    waves.foreach { waveBuckets =>
+      val waveId = waveBuckets.min // stable wave id = smallest bucket in it
+      val dataDir = s"${cfg.root}/data/${cfg.runId}/wave-$waveId"
+      val lineageDir = s"${cfg.root}/lineage/${cfg.runId}/wave-$waveId"
+
+      val subset = withBucket
+        .where($"_bucket".isin(waveBuckets: _*))
+        .drop("_bucket")
+        .as[Page]
+      val bucketed = Skew.repartitionBySizeBucket(subset)(spark)
+      val results = ExtractKernel.extract(bucketed, cfg.options, cfg.timeoutMs)(spark)
+        .withColumn("_bucket", pmod(xxhash64($"url"), lit(cfg.numBuckets)).cast("int"))
+
+      results.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
+
+      // lineage from the written files (no recompute, columnar prune)
+      val written = spark.read.parquet(dataDir)
+      val lineage = written.groupBy($"_bucket")
+        .agg(
+          count(lit(1)).as("rows"),
+          sum(when($"status" === "completed", 1L).otherwise(0L)).as("completed"),
+          sum(when($"status" === "failed", 1L).otherwise(0L)).as("failed"),
+          sum($"processing_time_ms").as("wall_ms"),
+        )
+        .withColumn("run_id", lit(cfg.runId))
+        .withColumn("wave", lit(waveId))
+        .withColumn("committed_at", current_timestamp())
+      lineage.write.mode(SaveMode.Overwrite).parquet(lineageDir)
+
+      val stats = lineage.select($"_bucket", $"rows", $"completed", $"failed", $"wall_ms")
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+      // markers LAST — only now is the wave durable
+      waveBuckets.foreach { b =>
+        val (rows, completedN, failedN, wallMs) = stats.getOrElse(b, (0L, 0L, 0L, 0L))
+        table.markDone(cfg.runId, b, Map(
+          "bucket" -> b, "run_id" -> cfg.runId, "wave" -> waveId,
+          "data_dir" -> dataDir, "lineage_dir" -> lineageDir,
+          "rows" -> rows, "completed" -> completedN, "failed" -> failedN, "wall_ms" -> wallMs,
+        ))
+      }
+      afterWave(waveIdx)
+      waveIdx += 1
+    }
+
+    // snapshot: union of data dirs recorded by ALL markers of this run
+    // (including waves committed by a previous killed attempt)
+    val markers = (0 until cfg.numBuckets).flatMap { b =>
+      val f = java.nio.file.Paths.get(cfg.root, "_checkpoint", cfg.runId, s"done-$b.json")
+      if (java.nio.file.Files.exists(f))
+        Some(graft.core.Json.parse(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+          .asInstanceOf[Map[String, Any]])
+      else None
+    }
+    val dataDirs = markers.map(m => String.valueOf(m("data_dir"))).distinct
+    val lineageDirs = markers.map(m => String.valueOf(m("lineage_dir"))).distinct
+    val snapId = table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
+
+    Report(snapId, waves.length, done.size, pending.size)
+  }
+}

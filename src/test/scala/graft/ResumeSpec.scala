@@ -1,0 +1,101 @@
+package graft
+
+import graft.gen.CorpusGen
+import graft.model.ConversionOptions
+import graft.pipeline.ExtractJob
+import graft.table.LineageTable
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** LineageTable + ExtractJob: checkpointed resume (killed job never
+  * re-extracts committed buckets), snapshot isolation, lineage stats, GC
+  * (SURVEY.md §5.2-5). */
+class ResumeSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val N = 120
+
+  private def pagesDs = {
+    val s = spark
+    import s.implicits._
+    spark.createDataset(CorpusGen.pages(N))(implicitly)
+  }
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-table-").toString
+
+  test("full run commits a readable snapshot with complete lineage") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "run1", numBuckets = 16, bucketsPerWave = 4)
+    val report = ExtractJob.run(spark, pagesDs, cfg)
+    assert(report.snapshotId == 1L)
+    assert(report.bucketsRun == 16 && report.bucketsSkipped == 0)
+
+    val table = new LineageTable(root, 16)
+    val df = table.read(spark)
+    val distinctUrls = pagesDs.select("url").distinct().count()
+    assert(df.count() == distinctUrls) // latest-crawl dedup applied
+    assert(df.where("status = 'completed'").count() == distinctUrls)
+
+    val lineage = table.readLineage(spark)
+    val sums = lineage.groupBy().sum("rows", "completed").collect()(0)
+    assert(sums.getLong(0) == distinctUrls && sums.getLong(1) == distinctUrls)
+    // every bucket with rows appears exactly once
+    assert(lineage.groupBy("_bucket").count().where("count > 1").count() == 0)
+  }
+
+  test("killed after first wave -> resume skips committed buckets, no duplicate rows") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "runX", numBuckets = 16, bucketsPerWave = 4)
+
+    final class Kill extends RuntimeException("simulated kill")
+    val died = intercept[Kill] {
+      ExtractJob.run(spark, pagesDs, cfg, afterWave = w => if (w == 1) throw new Kill)
+    }
+    assert(died.getMessage == "simulated kill")
+
+    val table = new LineageTable(root, 16)
+    val committed = table.doneBuckets("runX")
+    assert(committed.size == 8, s"expected 2 waves x 4 buckets committed, got $committed")
+    assert(table.currentSnapshotId.isEmpty, "no snapshot may exist after a kill")
+
+    // resume: same table + runId
+    val report2 = ExtractJob.run(spark, pagesDs, cfg)
+    assert(report2.bucketsSkipped == 8, "resume must skip the 8 committed buckets")
+    assert(report2.bucketsRun == 8)
+
+    val df = table.read(spark)
+    val distinctUrls = pagesDs.select("url").distinct().count()
+    assert(df.count() == distinctUrls, "resume must not duplicate rows")
+    // lineage: each bucket committed exactly once across both attempts
+    val lineage = table.readLineage(spark)
+    assert(lineage.groupBy("_bucket").count().where("count > 1").count() == 0)
+  }
+
+  test("bucket partition pruning reaches the scan") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "runP", numBuckets = 8, bucketsPerWave = 8)
+    ExtractJob.run(spark, pagesDs, cfg)
+    val table = new LineageTable(root, 8)
+    val plan = table.read(spark).where("_bucket = 3").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_bucket"), s"no partition pruning in:\n$plan")
+  }
+
+  test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
+    val root = freshRoot()
+    val cfgA = ExtractJob.Config(root, runId = "old", numBuckets = 8, bucketsPerWave = 8)
+    ExtractJob.run(spark, pagesDs, cfgA)
+    val cfgB = ExtractJob.Config(root, runId = "new", numBuckets = 8, bucketsPerWave = 8)
+    ExtractJob.run(spark, pagesDs, cfgB)
+
+    val table = new LineageTable(root, 8)
+    assert(table.currentSnapshotId.contains(2L))
+    val deleted = table.expireSnapshots(ttlMs = 0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(deleted > 0)
+    // current snapshot still readable
+    val df = table.read(spark)
+    assert(df.count() == pagesDs.select("url").distinct().count())
+    // old run's data dir gone
+    assert(!Files.exists(java.nio.file.Paths.get(root, "data", "old", "wave-0")))
+  }
+}
