@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.{ExtractionQueries, RelationalQueries, TrainingDataQueries}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query families:
+  *  - q_*  relational surface (SURVEY.md §2.4) with DuckDB oracles;
+  *  - x_*  extraction pipeline over the synthetic pages corpus (byte-level
+  *         correctness pinned by GoldenSpec; rows-only here);
+  *  - training-data ops (dedup/ANN/text analysis) over documents/embeddings,
+  *    oracled where SQL-expressible.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full extraction pipeline summary on the small corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ExtractionQueries.xExtractSummary(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.all ++ TrainingDataQueries.all ++ ExtractionQueries.all
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles
 }

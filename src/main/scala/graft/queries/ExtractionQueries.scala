@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.gen.CorpusGen
+import graft.model.{ConversionOptions, OutputFormat}
+import graft.pipeline.ExtractKernel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extraction-pipeline queries over the synthetic Common-Crawl-style pages
+  * corpus (FIXTURES.md §1; generated deterministically — the driver's
+  * relational tables cannot carry binary HTML/PDF payloads). No SQL oracle
+  * exists for these (the extraction semantics ARE the system under test —
+  * byte-level correctness is pinned by GoldenSpec instead); the driver
+  * records rows-only checks. All outputs are deterministic: no wall-clock
+  * fields. */
+object ExtractionQueries {
+
+  /** Corpus size scales with the sf dir the driver passes. */
+  def scaleFor(dir: String): Int =
+    if (dir.contains("sf0.1")) 20000
+    else if (dir.contains("sf0.01")) 2000
+    else 200
+
+  def pagesDs(spark: SparkSession, dir: String) = {
+    import spark.implicits._
+    val n = scaleFor(dir)
+    // fine input splits (8x slots): dynamic scheduling absorbs the
+    // heavy-tail doc-size skew without shuffling payload bytes
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 8)
+      .map(i => CorpusGen.pageFor(i))
+  }
+
+  /** Extraction results shared across the x_ queries of one session: the
+    * corpus extraction is identical per (dir, opts), so cache it like a temp
+    * view instead of re-running the kernel per query (MEMORY_AND_DISK —
+    * spills instead of OOM at bigger sf). */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(String, String, ConversionOptions), org.apache.spark.sql.Dataset[graft.model.ExtractResult]]()
+
+  private def results(spark: SparkSession, dir: String, opts: ConversionOptions = ConversionOptions()) =
+    cache.computeIfAbsent((spark.sparkContext.applicationId, dir, opts), _ =>
+      ExtractKernel.extract(pagesDs(spark, dir), opts)(spark)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Flagship: per-type/status extraction summary (content volume proves
+    * real extraction happened). */
+  def xExtractSummary(spark: SparkSession, dir: String): DataFrame =
+    results(spark, dir)
+      .groupBy(col("document_type"), col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("content"))).as("content_chars"),
+        sum(col("page_count")).as("pages"),
+      )
+      .orderBy(col("document_type"), col("status"))
+
+  /** Chunk explode + stats (T8/T9 surface). */
+  def xExtractChunks(spark: SparkSession, dir: String): DataFrame =
+    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text))
+      .select(col("url"), explode(col("chunks")).as("chunk"))
+      .select(col("url"), col("chunk.chunk_index"), col("chunk.chunk_size"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_size")).as("total_chunk_chars"),
+        max(col("chunk_index")).as("max_chunk_index"),
+      )
+
+  /** Table explode + stats (T7 surface). */
+  def xExtractTables(spark: SparkSession, dir: String): DataFrame =
+    results(spark, dir)
+      .select(col("document_type"), explode(col("tables")).as("t"))
+      .select(col("document_type"), size(col("t.rows")).as("n_rows"), size(col("t.headers")).as("n_cols"))
+      .groupBy(col("document_type"))
+      .agg(
+        count(lit(1)).as("n_tables"),
+        sum(col("n_rows")).as("total_rows"),
+        max(col("n_cols")).as("max_cols"),
+      )
+      .orderBy(col("document_type"))
+
+  /** Embedding generation over chunks (T10 surface): deterministic vector
+    * stats prove the envelope semantics (dim, zero-for-blank, L2 norm). */
+  def xExtractEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
+      .select(explode(col("chunks")).as("chunk"))
+      .select(
+        size(col("chunk.embedding")).as("dim"),
+        round(aggregate(col("chunk.embedding"), lit(0.0d), (acc, v) => acc + v * v), 2).as("sq_norm_r"),
+      )
+      .groupBy(col("dim"), col("sq_norm_r"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dim"), col("sq_norm_r"))
+
+  /** Doc-type detection distribution (T1 surface). */
+  def xDocTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pagesDs(spark, dir)
+      .map(p => (graft.pipeline.TypeDetector.detect(p.html, p.url), p.lang))
+      .toDF("document_type", "lang")
+      .groupBy(col("document_type"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("document_type"), col("lang"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_extract_summary" -> (xExtractSummary _),
+    "x_extract_chunks" -> (xExtractChunks _),
+    "x_extract_tables" -> (xExtractTables _),
+    "x_extract_embeddings" -> (xExtractEmbeddings _),
+    "x_doc_types" -> (xDocTypes _),
+  )
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational surface implied by the reference's behavior (SURVEY.md
+  * §2.4): every operator class it needs — filter/project, agg, dedup,
+  * top-k, joins (broadcast/semi/anti), window, set ops, string/date fns,
+  * hashing, rollup — expressed Catalyst-first over the driver test tables,
+  * each with a DuckDB oracle in [[Oracles]].
+  *
+  * Conventions (driver compare contract):
+  *  - every output column aliased identically in Spark and SQL;
+  *  - deterministic ORDER BY with a unique tiebreaker on every query;
+  *  - doubles rounded to 2dp so both engines stringify identically;
+  *  - timestamps emitted as formatted strings, never raw.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Filter + projection, pushed to the parquet scan (task-lookup analog,
+    * main.py:541). */
+  def qFilterProject(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .where(col("event_type") === "purchase" && col("value") > 100.0)
+      .select(col("event_id"), col("user_id"), round(col("value"), 2).as("value_r"))
+      .orderBy(col("event_id"))
+
+  /** Stats aggregation (O5, main.py:250-286 analog). */
+  def qAggStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 2).as("avg_price"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+      )
+      .orderBy(col("status"))
+
+  /** Classic lineitem rollup aggregation (partial/final hash agg). */
+  def q1LineitemAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k most recent (recent-results iteration analog, main.py:530-533). */
+  def qTopkRecent(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(50)
+      .select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Latest-row-per-key dedup (latest-crawl-per-url analog). */
+  def qDedupLatest(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Multi-way join with broadcast dims (results ⋈ pages analog): customer
+    * per region order volume. Catalyst broadcasts nation/region. */
+  def qJoinStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    val region = t(spark, dir, "region")
+    orders
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Anti join (resume = all EXCEPT completed analog). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Semi join (EXISTS). */
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = t(spark, dir, "customer")
+    val orders = t(spark, dir, "orders")
+    customer
+      .where(col("c_mktsegment") === "BUILDING")
+      .join(orders.where(col("o_totalprice") > 200000.0),
+        customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window functions: running revenue + rank per user. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .where(col("user_id") < 200)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(sum(col("value")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("running_value"),
+        row_number().over(w).as("rn"),
+      )
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Set operations: high-value event users vs purchase users. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val a = ev.where(col("value") > 300.0).select(col("user_id")).distinct()
+    val b = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+    a.intersect(b).orderBy(col("user_id"))
+  }
+
+  /** Except (distinct set difference). */
+  def qExcept(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val a = ev.where(col("event_type") === "view").select(col("user_id")).distinct()
+    val b = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+    a.except(b).orderBy(col("user_id"))
+  }
+
+  /** String + date functions (sanitize T13 / ISO timestamps analog). */
+  def qStringDate(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "_").as("sanitized"),
+        substring(col("c_name"), 1, 8).as("prefix8"),
+        length(col("c_name")).as("name_len"),
+      )
+      .orderBy(col("c_custkey"))
+
+  /** SHA-256 content hash (T12, utils.py:67-73) over document text. */
+  def qSha256(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .orderBy(col("doc_id"))
+
+  /** Rollup (stats cube over segment x nation). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  /** Exact + approximate distinct (approx for the 10^12-scale metrics path;
+    * only the exact column is oracle-compared). */
+  def qDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
+  /** JSON functions: parse the events props column and extract a field
+    * (result JSON encode/decode analog, main.py:537-539). */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k") > 90)
+      .orderBy(col("event_id"))
+
+  val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT event_id, user_id, round(value, 2) AS value_r
+        |FROM events WHERE event_type = 'purchase' AND value > 100.0
+        |ORDER BY event_id""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        |       round(avg(o_totalprice), 2) AS avg_price,
+        |       round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
+    "q1_lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_topk_recent" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_type
+        |FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 50)
+        |ORDER BY event_id""".stripMargin,
+    "q_dedup_latest" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_join_stats" ->
+      """SELECT r_name, n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT user_id, event_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events WHERE user_id < 200
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_set_ops" ->
+      """SELECT DISTINCT user_id FROM events WHERE value > 300.0
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "q_string_date" ->
+      """SELECT c_custkey,
+        |       regexp_replace(lower(c_name), '[^a-z0-9]+', '_', 'g') AS sanitized,
+        |       substring(c_name, 1, 8) AS prefix8,
+        |       length(c_name) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sha256" ->
+      "SELECT doc_id, sha256(text) AS sha FROM documents ORDER BY doc_id",
+    "q_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+        |ORDER BY event_id""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project" -> (qFilterProject _),
+    "q_agg_stats" -> (qAggStats _),
+    "q1_lineitem_agg" -> (q1LineitemAgg _),
+    "q_topk_recent" -> (qTopkRecent _),
+    "q_dedup_latest" -> (qDedupLatest _),
+    "q_join_stats" -> (qJoinStats _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_set_ops" -> (qSetOps _),
+    "q_except" -> (qExcept _),
+    "q_string_date" -> (qStringDate _),
+    "q_sha256" -> (qSha256 _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct_users" -> (qDistinctUsers _),
+    "q_json_extract" -> (qJsonExtract _),
+  )
+}
