@@ -44,10 +44,17 @@ object HashEmbedder {
       }
       i += 1
     }
-    // char trigrams over the raw lowered text
+    // char trigrams over the raw lowered text — hashed from the code points
+    // directly (a substring per position was the embedding hot-spot at
+    // corpus scale). Mix matches MurmurHash3 semantics closely enough for
+    // feature hashing; determinism is the contract, not a specific family.
     i = 0
     while (i + 3 <= n) {
-      addFeature(v, MurmurHash3.stringHash(lower.substring(i, i + 3), SeedTri))
+      var h = SeedTri
+      h = MurmurHash3.mix(h, lower.charAt(i))
+      h = MurmurHash3.mix(h, lower.charAt(i + 1))
+      h = MurmurHash3.mix(h, lower.charAt(i + 2))
+      addFeature(v, MurmurHash3.finalizeHash(h, 3))
       i += 1
     }
     l2normalize(v)

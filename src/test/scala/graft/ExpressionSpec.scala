@@ -1,0 +1,68 @@
+package graft
+
+import graft.export.TextExporter
+import graft.functions.GraftFunctions
+import graft.gen.CorpusGen
+import graft.model.{ConversionOptions, OutputFormat}
+import graft.pipeline.ExtractKernel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: byte-identity with the kernel functions,
+  * SQL registration, and whole-stage-codegen participation. */
+class ExpressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("markdown_strip expression == TextExporter.stripMarkdown, via Column API") {
+    import spark.implicits._
+    val mds = (0 until 32).map { i =>
+      ExtractKernel.extractOne(CorpusGen.pageFor(i.toLong), ConversionOptions()).content
+    }
+    val df = mds.toDF("md")
+      .select(GraftFunctions.markdown_strip(org.apache.spark.sql.functions.col("md")).as("txt"))
+    val got = df.as[String].collect()
+    val want = mds.map(TextExporter.stripMarkdown)
+    assert(got.toSeq == want)
+  }
+
+  test("markdown_strip / magic_doc_type usable from spark.sql") {
+    import spark.implicits._
+    Seq(("# Hi\n**bold** [l](u)", 1)).toDF("md", "i").createOrReplaceTempView("mdv")
+    val out = spark.sql("SELECT markdown_strip(md) AS t FROM mdv").as[String].head()
+    assert(out == "Hi\nbold l")
+
+    spark.createDataset(Seq(
+      ("u1.bin", "%PDF-1.4 x".getBytes("UTF-8")),
+      ("u2.html", "random".getBytes("UTF-8")),
+    ))(implicitly).toDF("url", "bytes").createOrReplaceTempView("bv")
+    val types = spark.sql("SELECT magic_doc_type(bytes, url) AS t FROM bv ORDER BY url")
+      .as[String].collect().toSeq
+    assert(types == Seq("pdf", "html"))
+  }
+
+  test("expressions run inside WholeStageCodegen (no fallback)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a Range source (not a LocalRelation, which the optimizer folds
+    // eagerly) so the expression must run inside generated code
+    val df = spark.range(4)
+      .select(concat(lit("**x** y "), col("id").cast("string")).as("md"))
+      .select(GraftFunctions.markdown_strip(col("md")).as("t"))
+    val codegenSpans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(codegenSpans.nonEmpty, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+    // and execution under codegen-only mode still works
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(df.as[String].collect().sorted.head == "x y 0")
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
+  test("null handling") {
+    import spark.implicits._
+    val df = Seq[String](null).toDF("md")
+      .select(GraftFunctions.markdown_strip(org.apache.spark.sql.functions.col("md")).as("t"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+}
