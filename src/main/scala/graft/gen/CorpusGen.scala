@@ -63,14 +63,22 @@ object CorpusGen {
     else (i % 3) match { case 0 => "de"; case 1 => "fr"; case _ => "es" }
   }
 
-  def urlFor(i: Long): String = {
-    val cat = Categories((i % Categories.size).toInt)
-    val isPdf = i % 10 == 7 // ~10% pdf payloads
-    val ext = if (isPdf) ".pdf" else ".html"
-    s"https://site${i % 997}.example/$cat/page-$i$ext"
+  /** Payload type mix: ~10% pdf, ~4% docx, ~4% xlsx, ~4% pptx, rest HTML
+    * (precedence: pdf first — matches urlFor). */
+  def docTypeFor(i: Long): String = {
+    if (i % 10 == 7) "pdf"
+    else if (i % 25 == 3) "docx"
+    else if (i % 25 == 13) "xlsx"
+    else if (i % 25 == 21) "pptx"
+    else "html"
   }
 
-  def isPdfRow(i: Long): Boolean = i % 10 == 7
+  def urlFor(i: Long): String = {
+    val cat = Categories((i % Categories.size).toInt)
+    s"https://site${i % 997}.example/$cat/page-$i.${docTypeFor(i)}"
+  }
+
+  def isPdfRow(i: Long): Boolean = docTypeFor(i) == "pdf"
 
   def tsFor(i: Long): Timestamp = new Timestamp(1735689600000L + i * 17000L) // 2025-01-01T00:00:00Z + i*17s
 
@@ -119,9 +127,14 @@ object CorpusGen {
   def pageFor(i: Long, seed: Long = DefaultSeed): Page = {
     val art = articleFor(i, seed)
     val url = urlFor(i)
-    val bytes =
-      if (isPdfRow(i)) PdfGen.render(art, new Random(seed ^ (i * 0x2545f4914f6cdd1dL)))
-      else HtmlGen.render(art, new Random(seed ^ (i * 0x2545f4914f6cdd1dL))).getBytes("UTF-8")
+    val rnd = new Random(seed ^ (i * 0x2545f4914f6cdd1dL))
+    val bytes = docTypeFor(i) match {
+      case "pdf" => PdfGen.render(art, rnd)
+      case "docx" => OoxmlGen.renderDocx(art, rnd)
+      case "xlsx" => OoxmlGen.renderXlsx(art, rnd)
+      case "pptx" => OoxmlGen.renderPptx(art, rnd)
+      case _ => HtmlGen.render(art, rnd).getBytes("UTF-8")
+    }
     // `text` column = lossy pre-extracted text as found in CC tables (NOT the golden)
     val lossy = art.pieces.collect {
       case GPara(ss) => ss.map(_.mkString(" ")).mkString(". ")

@@ -61,6 +61,12 @@ object ExtractKernel {
           BlockExtractor.extract(TreeBuilder.parse(html), filename)
         case DocumentType.Pdf =>
           PdfParser.parse(page.html, filename)
+        case DocumentType.Docx =>
+          graft.ooxml.OoxmlParser.parseDocx(page.html, filename)
+        case DocumentType.Xlsx =>
+          graft.ooxml.OoxmlParser.parseXlsx(page.html, filename)
+        case DocumentType.Pptx =>
+          graft.ooxml.OoxmlParser.parsePptx(page.html, filename)
         case DocumentType.Md =>
           // markdown payload: single pre-rendered block passthrough
           val md = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
