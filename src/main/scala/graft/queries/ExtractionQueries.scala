@@ -108,5 +108,6 @@ object ExtractionQueries {
     "x_extract_tables" -> (xExtractTables _),
     "x_extract_embeddings" -> (xExtractEmbeddings _),
     "x_doc_types" -> (xDocTypes _),
+    "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
   )
 }

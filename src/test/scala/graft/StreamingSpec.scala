@@ -1,0 +1,63 @@
+package graft
+
+import graft.gen.CorpusGen
+import graft.streaming.StreamingExtract
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Structured Streaming: incremental extraction with checkpointed
+  * exactly-once appends; watermarked windowed aggregation. */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("file-stream extraction: incremental batches, no reprocessing across restarts") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("graft-stream-in-").toString
+    val out = Files.createTempDirectory("graft-stream-out-").toString
+    val cp = Files.createTempDirectory("graft-stream-cp-").toString
+
+    // batch 1: rows 0..39
+    spark.createDataset(CorpusGen.pages(40))(implicitly)
+      .write.mode("append").parquet(in)
+    val q1 = StreamingExtract.run(spark, in, out, cp)
+    q1.awaitTermination(120000)
+    val n1 = spark.read.parquet(out).count()
+    val distinct1 = spark.read.parquet(out).select("url").distinct().count()
+    assert(n1 == 40, s"expected all 40 rows extracted, got $n1") // stream keeps dups (no global dedup)
+    assert(spark.read.parquet(out).where("status = 'completed'").count() == n1)
+
+    // batch 2: 20 more rows — restart from the same checkpoint; only the
+    // new file may be processed
+    spark.createDataset((40 until 60).map(i => CorpusGen.pageFor(i.toLong)))(implicitly)
+      .write.mode("append").parquet(in)
+    val q2 = StreamingExtract.run(spark, in, out, cp)
+    q2.awaitTermination(120000)
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == 60, s"restart must process only the delta (no re-extraction): got $n2")
+    assert(distinct1 <= n2)
+  }
+
+  test("watermarked windowed aggregation over a rate-like memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingExtract.eventsWindowedCounts(df)
+    val q = agg.writeStream.format("memory").queryName("winagg").outputMode("update").start()
+    val base = 1735689600000L
+    mem.addData(
+      (new java.sql.Timestamp(base), "view", 1.0),
+      (new java.sql.Timestamp(base + 60000), "view", 2.0),
+      (new java.sql.Timestamp(base + 400000), "purchase", 5.0),
+    )
+    q.processAllAvailable()
+    val rows = spark.sql("select event_type, n, value_sum from winagg order by event_type").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("purchase", 1L, 5.0), ("view", 2L, 3.0)))
+  }
+}
