@@ -34,12 +34,16 @@ object Chunker {
       var end = math.min(start + chunkSize, n)
 
       if (end < n) {
-        // sentence boundary past half the chunk, first matching separator wins
+        // sentence boundary past half the chunk, first matching separator
+        // wins. Bounded lastIndexOf on the original string — identical to
+        // the reference's text[start:end].rfind(sep) without the window
+        // copy per separator (the chunker hot-path allocation).
         var found = false
         var si = 0
         while (!found && si < Separators.length) {
           val sep = Separators(si)
-          val lastSep = text.substring(start, end).lastIndexOf(sep)
+          val abs = text.lastIndexOf(sep, end - sep.length)
+          val lastSep = if (abs >= start) abs - start else -1
           if (lastSep > chunkSize * 0.5) {
             end = start + lastSep + sep.length
             found = true
@@ -47,7 +51,8 @@ object Chunker {
           si += 1
         }
         if (!found) {
-          val lastSpace = text.substring(start, end).lastIndexOf(" ")
+          val abs = text.lastIndexOf(' ', end - 1)
+          val lastSpace = if (abs >= start) abs - start else -1
           if (lastSpace > chunkSize * 0.7) end = start + lastSpace + 1
         }
       }

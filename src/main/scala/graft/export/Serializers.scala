@@ -10,8 +10,16 @@ import graft.model._
   */
 object MarkdownSerializer {
 
-  def serialize(doc: DocModel): String =
-    doc.blocks.map(renderBlock).mkString("\n\n")
+  def serialize(doc: DocModel): String = {
+    val sb = new StringBuilder(1024)
+    var first = true
+    doc.blocks.foreach { b =>
+      if (!first) sb.append("\n\n")
+      sb.append(renderBlock(b))
+      first = false
+    }
+    sb.toString
+  }
 
   def renderBlock(b: Block): String = b match {
     case HeadingBlock(level, text) => ("#" * level) + " " + text

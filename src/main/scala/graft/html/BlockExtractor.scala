@@ -219,6 +219,20 @@ object BlockExtractor {
   }
 
   def normalizeWs(s: String): String = {
+    // fast path: already normalized (most short text nodes) — no allocation
+    var clean = s.length > 0
+    var k = 0
+    var prevSpace = true // catches leading space
+    while (clean && k < s.length) {
+      val c = s.charAt(k)
+      if (c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') clean = false
+      else if (c == ' ') { if (prevSpace) clean = false; prevSpace = true }
+      else prevSpace = false
+      k += 1
+    }
+    if (clean && !prevSpace) return s // no trailing space either
+    if (s.isEmpty) return s
+
     val sb = new StringBuilder(s.length)
     var pendingSpace = false
     var started = false

@@ -41,23 +41,30 @@ object ScalingBench {
         .where("status = 'completed'").count()
     }
 
-    /** One session per level: warm up inside it (codegen + JIT), then
-      * best-of-3 — sandbox CPU noise produces multi-second outliers, so min
-      * (uncontended steady state) is the honest estimator. */
-    def measure(cores: Int): Double = {
+    /** One timed pass in a fresh session for `cores` (with an in-session
+      * warmup run first). The sandbox suffers intermittent host CPU-steal
+      * windows (identical work varies 10x for ~30s periods — /proc/stat
+      * steal confirms), so reps of the two levels are INTERLEAVED and the
+      * min per level taken: a steal window then cannot sink one level only,
+      * and min approximates the uncontended steady state. */
+    def measureOnce(cores: Int): Double = {
       val spark = GraftSession.local(cores)
       try {
-        extractCount(spark) // warmup pass, discarded
-        (0 until 3).map { _ =>
-          val t0 = System.nanoTime()
-          require(extractCount(spark) > 0)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        extractCount(spark) // in-session warmup (codegen/JIT), discarded
+        val t0 = System.nanoTime()
+        require(extractCount(spark) > 0)
+        (System.nanoTime() - t0) / 1e9
       } finally spark.stop()
     }
 
-    val secN = measure(nSmall)
-    val sec4N = measure(nBig)
+    val reps = (0 until 4).map { r =>
+      val a = measureOnce(nSmall)
+      val b = measureOnce(nBig)
+      println(f"rep=$r secN=$a%.2f sec4N=$b%.2f")
+      (a, b)
+    }
+    val secN = reps.map(_._1).min
+    val sec4N = reps.map(_._2).min
     val thrN = nPages / secN
     val thr4N = nPages / sec4N
     val eff = (thr4N / thrN) / 4.0
