@@ -32,4 +32,15 @@ object PyStr {
 
   /** `s.rfind(sub)` (same as lastIndexOf; -1 if absent). */
   @inline def rfind(s: String, sub: String): Int = s.lastIndexOf(sub)
+
+  /** Human-readable byte size (reference T14, app/utils.py:211-217 —
+    * same one-decimal format and unit ladder). */
+  def formatBytes(size0: Long): String = {
+    var size = size0.toDouble
+    for (unit <- Seq("B", "KB", "MB", "GB")) {
+      if (size < 1024) return f"$size%.1f $unit"
+      size /= 1024
+    }
+    f"$size%.1f TB"
+  }
 }

@@ -112,6 +112,34 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
+  // ------------------------------------------------------------ tombstones
+
+  /** Task deletion (reference S6, app/main.py:577-618 — there an O(n) scan
+    * over every Redis key; here a tombstone list in the manifest layer):
+    * `read()` filters tombstoned task ids; data files are untouched until
+    * a compaction/GC rewrite. */
+  def deleteTask(taskId: String): Unit = {
+    val f = p("_manifests", "TOMBSTONES")
+    val existing = tombstones
+    if (!existing.contains(taskId))
+      atomicWrite(f, graft.core.Json.write(existing + taskId))
+  }
+
+  def tombstones: Set[String] = {
+    val f = p("_manifests", "TOMBSTONES")
+    if (!Files.exists(f)) Set.empty
+    else graft.core.Json.parse(new String(Files.readAllBytes(f), UTF_8))
+      .asInstanceOf[List[Any]].map(String.valueOf).toSet
+  }
+
+  /** Results with tombstoned tasks filtered (the user-facing read). */
+  def readVisible(spark: SparkSession): DataFrame = {
+    val ts = tombstones
+    val df = read(spark)
+    if (ts.isEmpty) df
+    else df.where(!org.apache.spark.sql.functions.col("task_id").isin(ts.toSeq: _*))
+  }
+
   // ------------------------------------------------------------------- GC
 
   /** Drop snapshots older than `ttlMs` (keeping the current one) and delete

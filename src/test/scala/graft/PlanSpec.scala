@@ -1,0 +1,59 @@
+package graft
+
+import graft.queries.RelationalQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that matter at 100 TB — predicate
+  * pushdown into parquet, column pruning, broadcast of small dims,
+  * whole-stage codegen spans. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val plan = planOf(RelationalQueries.qFilterProject(spark, dir))
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type), IsNotNull(value), EqualTo(event_type,purchase)") ||
+      plan.contains("EqualTo(event_type,purchase)"), s"pushdown missing:\n$plan")
+  }
+
+  test("column pruning: sha query reads only (doc_id, text)") {
+    val plan = planOf(RelationalQueries.qSha256(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"over-read: $readSchema")
+  }
+
+  test("metadata-only query over pages never reads the html column") {
+    implicit val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune-").toString
+    spark.createDataset(graft.gen.CorpusGen.pages(50))(implicitly).write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp).select("url", "lang").where("lang = 'en'")
+    val readSchema = planOf(df).linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("html"), s"html not pruned: $readSchema")
+  }
+
+  test("small dims broadcast in the join query") {
+    val plan = planOf(RelationalQueries.qJoinStats(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("LSH dedup joins are hash equi-joins, never cartesian/BNLJ") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qDedupSimhash(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in LSH dedup:\n$plan")
+  }
+
+  test("aggregation plans use whole-stage codegen") {
+    val df = RelationalQueries.qAggStats(spark, dir)
+    df.count() // finalize the AQE plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*("), s"no codegen stars in final AQE plan:\n$finalPlan")
+  }
+}
