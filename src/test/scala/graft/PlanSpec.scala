@@ -52,7 +52,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
-    df.count() // finalize the AQE plan
+    df.collect() // finalize THIS df's AQE plan (count() would re-plan)
     val finalPlan = df.queryExecution.executedPlan.toString
     assert(finalPlan.contains("*("), s"no codegen stars in final AQE plan:\n$finalPlan")
   }
