@@ -70,6 +70,8 @@ object CorpusGen {
     else if (i % 25 == 3) "docx"
     else if (i % 25 == 13) "xlsx"
     else if (i % 25 == 21) "pptx"
+    else if (i % 25 == 9) "md"
+    else if (i % 25 == 16) "adoc"
     else "html"
   }
 
@@ -133,6 +135,8 @@ object CorpusGen {
       case "docx" => OoxmlGen.renderDocx(art, rnd)
       case "xlsx" => OoxmlGen.renderXlsx(art, rnd)
       case "pptx" => OoxmlGen.renderPptx(art, rnd)
+      case "md" => TextDocGen.renderMd(art)
+      case "adoc" => TextDocGen.renderAdoc(art)
       case _ => HtmlGen.render(art, rnd).getBytes("UTF-8")
     }
     // `text` column = lossy pre-extracted text as found in CC tables (NOT the golden)

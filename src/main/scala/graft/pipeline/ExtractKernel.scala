@@ -68,9 +68,11 @@ object ExtractKernel {
         case DocumentType.Pptx =>
           graft.ooxml.OoxmlParser.parsePptx(page.html, filename)
         case DocumentType.Md =>
-          // markdown payload: single pre-rendered block passthrough
-          val md = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
-          DocModel(filename, DocumentType.Md, 1, Vector(ParaBlock(md)))
+          graft.mdparse.MarkdownParser.parse(
+            new String(page.html, java.nio.charset.StandardCharsets.UTF_8), filename)
+        case DocumentType.Asciidoc =>
+          graft.mdparse.AsciidocParser.parse(
+            new String(page.html, java.nio.charset.StandardCharsets.UTF_8), filename)
         case other =>
           throw new UnsupportedOperationException(s"document_type $other not extractable offline")
       }
