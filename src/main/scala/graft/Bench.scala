@@ -45,12 +45,19 @@ object Bench {
     }
 
     // headline: pure extraction throughput at this sf (pages/sec) — a fresh
-    // kernel pipeline, NOT the cached x_* results
+    // kernel pipeline over a materialized pages table (the production
+    // shape: parquet scan → kernel; synthetic-corpus generation excluded,
+    // it is not part of the measured system), NOT the cached x_* results
     val nPages = graft.queries.ExtractionQueries.scaleFor(sfDir)
+    val corpusDir = s"/tmp/graft-bench-corpus-$nPages"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
+      import spark.implicits._
+      spark.range(0, nPages, 1, 128).map(i => graft.gen.CorpusGen.pageFor(i))
+        .write.mode("overwrite").parquet(corpusDir)
+    }
     def freshExtract(): Long = {
       import spark.implicits._
-      val pages = spark.range(0, nPages, 1, spark.sparkContext.defaultParallelism * 8)
-        .map(i => graft.gen.CorpusGen.pageFor(i))
+      val pages = spark.read.parquet(corpusDir).as[graft.model.Page]
       graft.pipeline.ExtractKernel.extract(pages, graft.model.ConversionOptions())(spark)
         .where("status = 'completed'").count()
     }
