@@ -146,7 +146,7 @@ object BlockExtractor {
           case c: Element if c.name == "td" || c.name == "th" => (c.name == "th", cellText(c))
         }
         if (cells.nonEmpty) rows += ((cells.forall(_._1), cells.map(_._2).toVector))
-      case sec: Element if Set("thead", "tbody", "tfoot").contains(sec.name) => collectRows(sec)
+      case sec: Element if sec.name == "thead" || sec.name == "tbody" || sec.name == "tfoot" => collectRows(sec)
       case _ =>
     }
     collectRows(el)

@@ -38,6 +38,13 @@ object TreeBuilder {
     * tree stays small on script/style/svg-heavy pages. */
   private val DropSubtree = Set("script", "style", "noscript", "template", "svg", "iframe", "object", "applet")
 
+  // auto-close fences (hoisted — these were allocated per start tag, a
+  // measurable slice of tokenizer-path garbage)
+  private val PFence = Set("table", "td", "th", "ul", "ol", "li", "blockquote", "div", "section", "article")
+  private val LiFence = Set("ul", "ol")
+  private val CellFence = Set("tr", "table")
+  private val TrFence = Set("table")
+
   def build(tokens: Iterator[HtmlTokenizer.Tok]): Element = {
     val root = new Element("#root", Nil)
     val stack = ArrayBuffer[Element](root)
@@ -83,15 +90,15 @@ object TreeBuilder {
         } else {
           // auto-close rules
           if (name == "p" || (BlockLevel.contains(name) && name != "li")) {
-            autoClose("p", Set("table", "td", "th", "ul", "ol", "li", "blockquote", "div", "section", "article"))
+            autoClose("p", PFence)
           }
-          if (name == "li") autoClose("li", Set("ul", "ol"))
+          if (name == "li") autoClose("li", LiFence)
           if (name == "td" || name == "th") {
-            autoClose("td", Set("tr", "table")); autoClose("th", Set("tr", "table"))
+            autoClose("td", CellFence); autoClose("th", CellFence)
           }
           if (name == "tr") {
-            autoClose("td", Set("tr", "table")); autoClose("th", Set("tr", "table"))
-            autoClose("tr", Set("table"))
+            autoClose("td", CellFence); autoClose("th", CellFence)
+            autoClose("tr", TrFence)
           }
           val el = new Element(name, attrs)
           top.children += el

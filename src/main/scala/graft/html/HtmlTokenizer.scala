@@ -30,12 +30,19 @@ object HtmlTokenizer {
     private val n = s.length
     private var i = 0
     private val queue = ArrayBuffer.empty[Tok]
+    private var qHead = 0 // consume via index — remove(0) would shift
 
-    override def hasNext: Boolean = { fill(); queue.nonEmpty }
-    override def next(): Tok = { fill(); queue.remove(0) }
+    override def hasNext: Boolean = { fill(); qHead < queue.length }
+    override def next(): Tok = {
+      fill()
+      val t = queue(qHead)
+      qHead += 1
+      if (qHead == queue.length) { queue.clear(); qHead = 0 }
+      t
+    }
 
     private def fill(): Unit = {
-      while (queue.isEmpty && i < n) step()
+      while (qHead >= queue.length && i < n) step()
     }
 
     @inline private def isAsciiAlpha(c: Char): Boolean =
