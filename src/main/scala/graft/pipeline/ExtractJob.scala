@@ -31,13 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object ExtractJob {
 
+  /** Latest-crawl dedup strategy:
+    *  - `WindowDedup`: exact pre-extraction window over the url — shuffles
+    *    raw payloads once (the right choice when the pages table is
+    *    bucketed by url, where it degenerates to a map-side window);
+    *  - `PostDedup`: extract everything, keep the max-warc_ts result per
+    *    url — no payload shuffle at all; wasted kernel work equals the
+    *    duplicate fraction (the right choice for low-dup crawl deltas on
+    *    unbucketed tables);
+    *  - `NoDedup`: input already deduplicated. */
+  sealed trait DedupStrategy
+  case object WindowDedup extends DedupStrategy
+  case object PostDedup extends DedupStrategy
+  case object NoDedup extends DedupStrategy
+
   final case class Config(
       root: String,
       runId: String,
       numBuckets: Int = 64,
       bucketsPerWave: Int = 16,
       options: ConversionOptions = ConversionOptions(),
-      dedupLatestCrawl: Boolean = true,
+      dedup: DedupStrategy = WindowDedup,
       timeoutMs: Long = ExtractKernel.DefaultTimeoutMs,
   )
 
@@ -50,12 +64,13 @@ object ExtractJob {
     import spark.implicits._
     val table = new LineageTable(cfg.root, cfg.numBuckets)
 
-    val deduped: Dataset[Page] =
-      if (cfg.dedupLatestCrawl) {
+    val deduped: Dataset[Page] = cfg.dedup match {
+      case WindowDedup =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
         pages.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn").as[Page]
-      } else pages
+      case PostDedup | NoDedup => pages
+    }
 
     val withBucket = deduped
       .withColumn("_bucket", pmod(xxhash64($"url"), lit(cfg.numBuckets)).cast("int"))
@@ -82,7 +97,18 @@ object ExtractJob {
       // for pathological inputs (multi-GB blobs). Measured on this box:
       // payload-shuffle plan = 0.55 scaling efficiency 8→32 cores;
       // this plan = 0.87 (see BENCH.md).
-      val results = ExtractKernel.extract(subset, cfg.options, cfg.timeoutMs)(spark)
+      val extracted = ExtractKernel.extract(subset, cfg.options, cfg.timeoutMs)(spark)
+      val postDeduped = cfg.dedup match {
+        case PostDedup =>
+          // duplicates of a url always share its bucket, so per-wave window
+          // dedup over results is exact — and shuffles only extracted
+          // output, never raw payloads
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy($"url").orderBy($"warc_ts".desc)
+          extracted.withColumn("_rn", row_number().over(w)).where($"_rn" === 1).drop("_rn")
+        case _ => extracted.toDF()
+      }
+      val results = postDeduped
         .withColumn("_bucket", pmod(xxhash64($"url"), lit(cfg.numBuckets)).cast("int"))
 
       val slots = spark.sparkContext.defaultParallelism

@@ -110,6 +110,7 @@ object ExtractKernel {
       val completed = System.currentTimeMillis()
       ExtractResult(
         url = page.url,
+        warc_ts = page.warc_ts,
         task_id = taskId,
         status = TaskStatus.Completed,
         filename = filename,
@@ -136,6 +137,7 @@ object ExtractKernel {
         val completed = System.currentTimeMillis()
         ExtractResult(
           url = page.url,
+          warc_ts = page.warc_ts,
           task_id = taskId,
           status = TaskStatus.Failed,
           filename = filename,

@@ -81,6 +81,29 @@ class ResumeSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(_bucket"), s"no partition pruning in:\n$plan")
   }
 
+  test("PostDedup strategy: same final table as WindowDedup, no payload shuffle") {
+    val rootW = freshRoot()
+    val rootP = freshRoot()
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(rootW, "w", numBuckets = 8, bucketsPerWave = 8))
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(rootP, "p", numBuckets = 8, bucketsPerWave = 8,
+      dedup = ExtractJob.PostDedup))
+    val a = new LineageTable(rootW, 8).read(spark)
+      .select("url", "task_id", "status").collect().map(_.toString).sorted
+    val b = new LineageTable(rootP, 8).read(spark)
+      .select("url", "task_id", "status").collect().map(_.toString).sorted
+    assert(a.sameElements(b), "dedup strategies must agree on the final table")
+  }
+
+  test("per-row timeout guard produces failed rows, not job kills") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, "t", numBuckets = 4, bucketsPerWave = 4, timeoutMs = -1)
+    ExtractJob.run(spark, pagesDs, cfg)
+    val df = new LineageTable(root, 4).read(spark)
+    assert(df.where("status = 'failed'").count() == df.count(), "all rows must time out at timeoutMs=-1")
+    val err = df.select("error").where("error is not null").head().getString(0)
+    assert(err.contains("time limit"), err)
+  }
+
   test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
     val root = freshRoot()
     val cfgA = ExtractJob.Config(root, runId = "old", numBuckets = 8, bucketsPerWave = 8)
