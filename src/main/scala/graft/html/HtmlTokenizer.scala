@@ -65,9 +65,12 @@ object HtmlTokenizer {
       if (i + 1 >= n) { queue += Text("<"); i = n; return }
       val c1 = s.charAt(i + 1)
       if (c1 == '!') {
-        // comment / doctype / bogus
+        // comment / CDATA / doctype / bogus
         if (s.startsWith("<!--", i)) {
           val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (s.startsWith("<![CDATA[", i)) {
+          val end = s.indexOf("]]>", i + 9)
           i = if (end < 0) n else end + 3
         } else {
           val end = s.indexOf('>', i + 2)

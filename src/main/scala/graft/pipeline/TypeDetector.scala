@@ -61,10 +61,13 @@ object TypeDetector {
     if (b(0) == 'B' && b(1) == 'M') return Some(DocumentType.Image)
     // OOXML zip containers: PK\x03\x04 then look for the part-name hint
     if (b(0) == 'P' && b(1) == 'K' && b(2) == 3 && b(3) == 4) {
-      val head = new String(b, 0, math.min(b.length, 4096), java.nio.charset.StandardCharsets.ISO_8859_1)
-      if (head.contains("word/")) return Some(DocumentType.Docx)
-      if (head.contains("ppt/")) return Some(DocumentType.Pptx)
-      if (head.contains("xl/")) return Some(DocumentType.Xlsx)
+      // OOXML container: part names appear uncompressed in the local file
+      // headers near the front; use full part names (short markers like
+      // "xl/" could collide with deflated payload bytes)
+      val head = new String(b, 0, math.min(b.length, 8192), java.nio.charset.StandardCharsets.ISO_8859_1)
+      if (head.contains("word/document")) return Some(DocumentType.Docx)
+      if (head.contains("ppt/presentation") || head.contains("ppt/slides/")) return Some(DocumentType.Pptx)
+      if (head.contains("xl/workbook")) return Some(DocumentType.Xlsx)
       return None
     }
     // HTML: optional BOM/whitespace then <!doctype or <html or a known tag
