@@ -147,11 +147,11 @@ object TrainingDataQueries {
     val banded = d
       .select(col("doc_id"), col("text"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
 
-    val left = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val right = banded.select(col("band_idx"), col("band"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val left = banded.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val right = banded.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
     val candidates = left.join(right,
-        left("band_idx") === right("band_idx") && left("band") === right("band") &&
-          left("doc_a") < right("doc_b"))
+        col("bi_a") === col("bi_b") && col("b_a") === col("b_b") &&
+          col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
       .dropDuplicates("doc_a", "doc_b")
 
@@ -191,9 +191,9 @@ object TrainingDataQueries {
         struct(lit(b).as("idx"), shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)))
       .select(col("doc_id"), col("sim"), col("band.idx").as("band_idx"), col("band.key").as("band_key"))
 
-    val l = d.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val r = d.select(col("band_idx"), col("band_key"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    l.join(r, l("band_idx") === r("band_idx") && l("band_key") === r("band_key") && l("doc_a") < r("doc_b"))
+    val l = d.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val r = d.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    l.join(r, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
@@ -220,9 +220,9 @@ object TrainingDataQueries {
       jaccardSorted(charShingles(a, 5), charShingles(b, 5)))
     val d = docs(spark, dir)
       .select(col("doc_id"), col("text"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
-    val l = d.select(col("band_idx"), col("band"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val r = d.select(col("band_idx"), col("band"), col("doc_id").as("doc_b"), col("text").as("text_b"))
-    l.join(r, l("band_idx") === r("band_idx") && l("band") === r("band") && l("doc_a") < r("doc_b"))
+    val l = d.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val r = d.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    l.join(r, col("bi_a") === col("bi_b") && col("b_a") === col("b_b") && col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("jaccard5_r", round(jacUdf(col("text_a"), col("text_b")), 4))
       .where(col("jaccard5_r") >= threshold)
@@ -303,9 +303,13 @@ object TrainingDataQueries {
         struct(lit(m).as("band_idx"),
           signSketchCol(col("embedding"), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"))
       .select(col("vec_id"), col("embedding"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-    val l = e.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = e.select(col("band_idx"), col("band_key"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    l.join(r, l("band_idx") === r("band_idx") && l("band_key") === r("band_key") && l("vec_a") < r("vec_b"))
+    // rename join keys on BOTH sides: same-lineage column refs would
+    // resolve to one attribute and make the equality trivially true
+    val l = e.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = e.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), round(cosineUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
       .dropDuplicates("vec_a", "vec_b")
       .where(col("cos_r") >= threshold)
@@ -323,6 +327,37 @@ object TrainingDataQueries {
     e.where(col("vec_id") =!= 0)
       .join(broadcast(probe), col("sketch") === col("probe_sketch"))
       .select(col("vec_id"), round(cosineCol(col("embedding"), col("probe")), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+      .orderBy(col("vec_id"))
+  }
+
+  /** IVF-style ANN: a coarse quantizer (k-means, deterministic hash-seeded
+    * init, fixed Lloyd iterations) trained on a driver-side SAMPLE of the
+    * vectors — the standard IVF recipe at scale: train on ~10^5 sampled
+    * vectors centrally, broadcast the centroids, assign the full corpus
+    * distributed, then search only the probe's nProbe nearest lists.
+    * Here the sample is the whole (tiny) table; at 100 TB it would be
+    * `.sample(...)` with the same code path. */
+  def qAnnIvf(spark: SparkSession, dir: String, k: Int = 10, nList: Int = 16, nProbe: Int = 2): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // train: deterministic sample → driver k-means
+    val sample = e.orderBy(col("vec_id")).limit(4096)
+      .collect().map(r => r.getSeq[Float](1).toArray)
+    val centroids = KMeans.fit(sample, nList, iters = 8)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    val assignUdf = udf((v: Seq[Float]) => KMeans.nearest(bc.value, v))
+    val assigned = e.withColumn("list_id", assignUdf(col("embedding")))
+
+    val probeRow = e.where(col("vec_id") === 0).select(col("embedding")).head()
+    val probeVec = probeRow.getSeq[Float](0).toArray
+    val probeLists = KMeans.nearestN(centroids, probeVec, nProbe)
+
+    assigned
+      .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
+      .select(col("vec_id"),
+        round(cosineUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
@@ -444,6 +479,7 @@ object TrainingDataQueries {
     "q_dedup_emb_cosine" -> ((s: SparkSession, d: String) => qDedupEmbCosine(s, d)),
     "q_ann_brute_force" -> ((s: SparkSession, d: String) => qAnnBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
+    "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
@@ -506,5 +542,64 @@ object Fingerprint {
       start += 1
     }
     out.toArray
+  }
+}
+
+/** Deterministic k-means for the IVF coarse quantizer: hash-seeded farthest
+  * -point-ish init (spread via stride over a hash-sorted sample), fixed
+  * Lloyd iteration count, empty clusters re-seeded deterministically. */
+object KMeans {
+
+  def fit(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty)
+    val dim = sample(0).length
+    // init: order sample by a content hash, take k at even strides
+    val ordered = sample.sortBy(v => java.util.Arrays.hashCode(v))
+    val kk = math.min(k, ordered.length)
+    var centroids = Array.tabulate(kk)(c => ordered(c * ordered.length / kk).clone())
+
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      sample.foreach { v =>
+        val c = nearest(centroids, v)
+        counts(c) += 1
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) ordered((c * 2654435761L % ordered.length).toInt.abs).clone()
+        else {
+          val out = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { out(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+          out
+        }
+      }
+    }
+    centroids
+  }
+
+  def nearest(centroids: Array[Array[Float]], v: Seq[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = sqDist(centroids(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestN(centroids: Array[Array[Float]], v: Seq[Float], n: Int): Seq[Int] =
+    centroids.indices.sortBy(c => sqDist(centroids(c), v)).take(n)
+
+  private def sqDist(a: Array[Float], b: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
   }
 }
