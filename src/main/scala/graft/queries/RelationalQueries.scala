@@ -183,7 +183,91 @@ object RelationalQueries {
       .where(col("k") > 90)
       .orderBy(col("event_id"))
 
+  /** Sessionization (gaps-and-islands): events split into sessions on
+    * >30-minute gaps per user — the classic stateful-stream op expressed
+    * relationally (lag → gap flag → cumulative sum → session agg). */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        round(sum(col("session_value")), 2).as("total_value"),
+      )
+      .orderBy(col("user_id"))
+  }
+
+  /** Cube over two dims (grouping-sets family beside q_rollup). */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_mod").asc_nulls_first)
+
+  /** Exact interpolated percentiles (percentile/quantile_cont agree). */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("p95"),
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("q25"),
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
+    * implementations differ across engines, so rows-only (the exact
+    * variant is oracled in q_distinct_users). */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
+      )
+      .withColumn("rel_err_pct",
+        round(abs(col("approx_users") - col("exact_users")) * 100.0 / col("exact_users"), 1))
+      .orderBy(col("event_type"))
+
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM g
+        |), per_session AS (
+        |  SELECT user_id, session_seq, count(*) AS n_events, round(sum(value), 2) AS session_value
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+        |       round(sum(session_value), 2) AS total_value
+        |FROM per_session GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS user_mod, count(*) AS n
+        |FROM events GROUP BY CUBE (event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_mod NULLS FIRST""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |       round(quantile_cont(l_quantity, 0.25), 2) AS q25
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, round(value, 2) AS value_r
         |FROM events WHERE event_type = 'purchase' AND value > 100.0
@@ -281,5 +365,9 @@ object RelationalQueries {
     "q_rollup" -> (qRollup _),
     "q_distinct_users" -> (qDistinctUsers _),
     "q_json_extract" -> (qJsonExtract _),
+    "q_sessionize" -> (qSessionize _),
+    "q_cube" -> (qCube _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_approx_distinct" -> (qApproxDistinct _),
   )
 }
