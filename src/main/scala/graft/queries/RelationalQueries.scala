@@ -225,6 +225,23 @@ object RelationalQueries {
       )
       .orderBy(col("l_returnflag"))
 
+  /** As-of join — for each event, the latest order of the same customer at
+    * or before the event time (the operator Spark lacks natively; composed
+    * per the preference order as equi-join on the key + time-range residual
+    * + lexicographic max pick, deterministic tie-break on o_orderkey).
+    * At scale the equi key bounds the join; AQE splits skewed customers. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events").where(col("user_id") <= 300)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "inner")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+      .select(col("event_id"), col("best.o_orderkey").as("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
   /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
     * implementations differ across engines, so rows-only (the exact
     * variant is oracled in q_distinct_users). */
@@ -268,6 +285,15 @@ object RelationalQueries {
         |       round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
         |       round(quantile_cont(l_quantity, 0.25), 2) AS q25
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_asof_join" ->
+      """SELECT event_id, asof_orderkey FROM (
+        |  SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+        |         row_number() OVER (PARTITION BY e.event_id
+        |             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        |  WHERE e.user_id <= 300
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, round(value, 2) AS value_r
         |FROM events WHERE event_type = 'purchase' AND value > 100.0
@@ -369,5 +395,6 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_percentiles" -> (qPercentiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_asof_join" -> (qAsofJoin _),
   )
 }
