@@ -62,4 +62,59 @@ object StreamingExtract {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"))
+
+  // ------------------------------------------------------- custom state
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, value: Double)
+  final case class SessionOut(user_id: Long, start_ts: java.sql.Timestamp,
+                              n_events: Long, session_value: Double, duration_ms: Long)
+
+  /** Stateful sessionization with custom state — the streaming counterpart
+    * of RelationalQueries.qSessionize, via
+    * KeyValueGroupedDataset.flatMapGroupsWithState: per-user session state
+    * with an event-time gap timeout; a session is emitted when the gap
+    * exceeds `gapMs` (driven by incoming batches) or the state times out. */
+  def sessionize(events: org.apache.spark.sql.Dataset[Ev], gapMs: Long = 1800000L)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def emit(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(st.start), st.n, st.value, st.last - st.start)
+
+    def fn(userId: Long, batch: Iterator[Ev], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        // idle group: flush the open session
+        val flushed = state.getOption.map(emit(userId, _)).iterator
+        state.remove()
+        return flushed
+      }
+      val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var cur = state.getOption
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last > gapMs =>
+            out += emit(userId, st)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(st) =>
+            cur = Some(SessionState(st.start, t, st.n + 1, st.value + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach(st => state.update(st))
+      out.result().iterator
+    }
+
+    // NoTimeout: sessions close when a later event arrives past the gap
+    // (deterministic, data-driven). A production variant would use
+    // EventTimeTimeout + watermark to also flush idle users; the state
+    // machinery is identical.
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

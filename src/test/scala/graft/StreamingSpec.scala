@@ -39,6 +39,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(distinct1 <= n2)
   }
 
+  test("flatMapGroupsWithState sessionizer: gap splits sessions, state carries across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingExtract.{Ev, sessionize}
+    val mem = MemoryStream[Ev]
+    val out = sessionize(mem.toDS(), gapMs = 60000L) // 1-minute gap
+    val q = out.writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    val t0 = 1735689600000L
+    // batch 1: user 1 -> two events 10s apart (one open session)
+    mem.addData(Ev(1, new java.sql.Timestamp(t0), 1.0), Ev(1, new java.sql.Timestamp(t0 + 10000), 2.0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from sessions").count() == 0) // still open
+    // batch 2: user 1 event 2 minutes later -> closes the first session
+    mem.addData(Ev(1, new java.sql.Timestamp(t0 + 130000), 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select user_id, n_events, session_value, duration_ms from sessions").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0 && rows(0).getLong(3) == 10000L)
+  }
+
   test("watermarked windowed aggregation over a rate-like memory stream") {
     val s = spark
     import s.implicits._
