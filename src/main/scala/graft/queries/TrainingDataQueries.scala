@@ -352,7 +352,7 @@ object TrainingDataQueries {
 
     val probeRow = e.where(col("vec_id") === 0).select(col("embedding")).head()
     val probeVec = probeRow.getSeq[Float](0).toArray
-    val probeLists = KMeans.nearestN(centroids, probeVec, nProbe)
+    val probeLists = KMeans.nearestN(centroids, scala.collection.immutable.ArraySeq.unsafeWrapArray(probeVec), nProbe)
 
     assigned
       .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
@@ -379,7 +379,7 @@ object TrainingDataQueries {
       var d = 0
       val n = emb.length
       while (d < n) {
-        val w = if ((MurmurHash3.productHash((b + bitOffset, d)) & 1) == 0) 1.0 else -1.0
+        val w = if ((splitmix64((b + bitOffset).toLong * 0x9e3779b97f4a7c15L + d) & 1L) == 0L) 1.0 else -1.0
         dot += w * emb(d)
         d += 1
       }
@@ -562,7 +562,7 @@ object KMeans {
       val sums = Array.fill(kk)(new Array[Double](dim))
       val counts = new Array[Long](kk)
       sample.foreach { v =>
-        val c = nearest(centroids, v)
+        val c = nearest(centroids, scala.collection.immutable.ArraySeq.unsafeWrapArray(v))
         counts(c) += 1
         var d = 0
         while (d < dim) { sums(c)(d) += v(d); d += 1 }
