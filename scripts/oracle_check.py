@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 /tmp/oracle_check.py <sfDir> <voutDir>
+
+Reads <voutDir>/oracle_sql.json (dumped by graft.Verify), registers each
+testdata parquet as a DuckDB view, runs every oracle, and compares against
+<voutDir>/<name>.parquet the way the driver does: columns sorted by name,
+values stringified, rows sorted, then hashed.
+"""
+import json, sys, hashlib
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))
+            return repr(v)
+        return str(v)
+    rows = sorted("\x01".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def main():
+    sf_dir, vout = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{vout}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracles):
+        try:
+            exp = con.execute(oracles[name]).fetchdf()
+            import glob
+            parts = sorted(glob.glob(f"{vout}/{name}/part-*.parquet")) or [f"{vout}/{name}.parquet"]
+            got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
+            if sorted(exp.columns) != sorted(got.columns):
+                print(f"FAIL {name}: columns {sorted(exp.columns)} vs {sorted(got.columns)}")
+                n_bad += 1
+                continue
+            if len(exp) != len(got):
+                print(f"FAIL {name}: rows {len(exp)} vs {len(got)}")
+                n_bad += 1
+                continue
+            he, hg = canon(exp), canon(got)
+            if he != hg:
+                print(f"FAIL {name}: hash mismatch ({len(exp)} rows)")
+                ej = exp.reindex(sorted(exp.columns), axis=1)
+                gj = got.reindex(sorted(got.columns), axis=1)
+                print("  oracle head:\n", ej.head(3).to_string())
+                print("  spark  head:\n", gj.head(3).to_string())
+                n_bad += 1
+            else:
+                print(f"ok   {name} ({len(exp)} rows)")
+                n_ok += 1
+        except Exception as e:
+            print(f"ERR  {name}: {e}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,87 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Pivot: event_type values to columns (per-status counters analog,
+    * main.py:258-277 turned sideways). Explicit value list so the plan is a
+    * single pass (no distinct-values pre-query). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy((col("user_id") % 7).as("user_mod"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum(col("value")), 2))
+      .orderBy(col("user_mod"))
+
+  /** Explicit GROUPING SETS (brand-only and type-only subtotals plus grand
+    * total in one pass — the generalization of q_rollup/q_cube). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupingSets(
+        Seq(Seq(col("p_brand")), Seq(col("p_type")), Seq.empty[org.apache.spark.sql.Column]),
+        col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .orderBy(col("p_brand").asc_nulls_first, col("p_type").asc_nulls_first)
+
+  /** Explode / flatten with an oracle (chunks/tables-array analog §2.4):
+    * word frequencies via explode(split(...)) — generator-free lateral view. */
+  def qExplodeWords(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 4)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
+  /** Window navigation: lag/lead + rank/dense_rank (rank keys deliberately
+    * tie on event_type so rank vs dense_rank diverge deterministically). */
+  def qWindowLagRank(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byType = Window.partitionBy(col("user_id")).orderBy(col("event_type"))
+    t(spark, dir, "events")
+      .where(col("user_id") < 100)
+      .select(
+        col("user_id"),
+        col("event_id"),
+        round(lag(col("value"), 1).over(seq), 2).as("prev_value"),
+        round(lead(col("value"), 1).over(seq), 2).as("next_value"),
+        rank().over(byType).as("type_rank"),
+        dense_rank().over(byType).as("type_dense_rank"),
+      )
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Scalar subquery: rows above the global average (broadcast 1-row agg —
+    * the Catalyst shape DuckDB writes as a scalar subquery). */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val g = c.agg(avg(col("c_acctbal")).as("global_avg"))
+    c.crossJoin(broadcast(g))
+      .where(col("c_acctbal") > col("global_avg"))
+      .select(col("c_custkey"), round(col("c_acctbal") - col("global_avg"), 2).as("above_by"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Star join over the fact table with three broadcast dims (part,
+    * supplier, nation — TPC-H Q9 shape) + HAVING: revenue by brand and
+    * supplier nation. At 100 TB the dims stay broadcast-able (MB-scale)
+    * while the fact side never shuffles pre-aggregation. */
+  def qStarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+    val p = t(spark, dir, "part")
+    val s = t(spark, dir, "supplier")
+    val n = t(spark, dir, "nation")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      )
+      .where(col("n_lines") >= 5)
+      .orderBy(col("p_brand"), col("n_name"))
+  }
+
   /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
     * implementations differ across engines, so rows-only (the exact
     * variant is oracled in q_distinct_users). */
@@ -372,6 +453,48 @@ object RelationalQueries {
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
         |ORDER BY event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 7 AS user_mod,
+        |       round(sum(value) FILTER (event_type = 'click'), 2) AS click,
+        |       round(sum(value) FILTER (event_type = 'view'), 2) AS view,
+        |       round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase,
+        |       round(sum(value) FILTER (event_type = 'signup'), 2) AS signup,
+        |       round(sum(value) FILTER (event_type = 'error'), 2) AS error
+        |FROM events GROUP BY 1 ORDER BY user_mod""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT p_brand, p_type, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY GROUPING SETS ((p_brand), (p_type), ())
+        |ORDER BY p_brand NULLS FIRST, p_type NULLS FIRST""".stripMargin,
+    "q_explode_words" ->
+      """SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE length(word) >= 4
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
+    "q_window_lag_rank" ->
+      """SELECT user_id, event_id,
+        |       round(lag(value, 1) OVER w, 2) AS prev_value,
+        |       round(lead(value, 1) OVER w, 2) AS next_value,
+        |       rank() OVER t AS type_rank,
+        |       dense_rank() OVER t AS type_dense_rank
+        |FROM events WHERE user_id < 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       t AS (PARTITION BY user_id ORDER BY event_type)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey,
+        |       round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 2) AS above_by
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_star_join" ->
+      """SELECT p_brand, n_name, count(*) AS n_lines,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,5 +519,11 @@ object RelationalQueries {
     "q_percentiles" -> (qPercentiles _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_asof_join" -> (qAsofJoin _),
+    "q_pivot" -> (qPivot _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_explode_words" -> (qExplodeWords _),
+    "q_window_lag_rank" -> (qWindowLagRank _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_star_join" -> (qStarJoin _),
   )
 }
