@@ -94,9 +94,11 @@ object RelationalQueries {
   /** Anti join (resume = all EXCEPT completed analog). */
   def qAntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val customer = t(spark, dir, "customer")
-    val orders = t(spark, dir, "orders")
+    // "no big order" rather than "no order at all" — every sf0.01 customer
+    // has orders, and a 0-row result is a vacuous 0=0 oracle match
+    val bigOrders = t(spark, dir, "orders").where(col("o_totalprice") > 400000.0)
     customer
-      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .join(bigOrders, customer("c_custkey") === bigOrders("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
@@ -139,7 +141,10 @@ object RelationalQueries {
   def qExcept(spark: SparkSession, dir: String): DataFrame = {
     val ev = t(spark, dir, "events")
     val a = ev.where(col("event_type") === "view").select(col("user_id")).distinct()
-    val b = ev.where(col("event_type") === "purchase").select(col("user_id")).distinct()
+    // big-ticket purchasers only, so both inputs AND the difference are
+    // non-empty at sf0.01 (the unfiltered version matched 0=0 — vacuous)
+    val b = ev.where(col("event_type") === "purchase" && col("value") > 300.0)
+      .select(col("user_id")).distinct()
     a.except(b).orderBy(col("user_id"))
   }
 
@@ -323,6 +328,39 @@ object RelationalQueries {
       .orderBy(col("p_brand"), col("n_name"))
   }
 
+  /** Range join (non-equi): events classified into value bands. The dim is
+    * tiny, so the 100 TB plan is a broadcast join with the range predicate
+    * (BroadcastNestedLoopJoin over 5 rows ≈ a codegen'd CASE, no shuffle);
+    * a large-large range join would instead bin both sides to equi keys
+    * first. Complements q_asof_join on the non-equi-join checklist. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("p1_nano", 0.0, 25.0), ("p2_small", 25.0, 100.0), ("p3_mid", 100.0, 250.0),
+      ("p4_large", 250.0, 400.0), ("p5_huge", 400.0, 1.0e9),
+    ).toDF("band", "lo", "hi")
+    t(spark, dir, "events")
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"), "inner")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("band"))
+  }
+
+  /** Left outer join + distribution (TPC-H Q13 shape): customers by order
+    * count, zero-order customers preserved by the outer side and
+    * count(o_orderkey)'s null-skipping. Two-level aggregation re-shuffles
+    * only (c_custkey, c_count) pairs — tiny vs the join output. */
+  def qCustdist(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer").select(col("c_custkey"))
+    val o = t(spark, dir, "orders").select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
     * implementations differ across engines, so rows-only (the exact
     * variant is oracled in q_distinct_users). */
@@ -338,6 +376,19 @@ object RelationalQueries {
       .orderBy(col("event_type"))
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('p1_nano', 0.0, 25.0), ('p2_small', 25.0, 100.0), ('p3_mid', 100.0, 250.0),
+        |  ('p4_large', 250.0, 400.0), ('p5_huge', 400.0, 1000000000.0))
+        |SELECT band, count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,
@@ -410,7 +461,8 @@ object RelationalQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_acctbal FROM customer
@@ -432,7 +484,7 @@ object RelationalQueries {
     "q_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
         |EXCEPT
-        |SELECT user_id FROM events WHERE event_type = 'purchase'
+        |SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 300.0
         |ORDER BY user_id""".stripMargin,
     "q_string_date" ->
       """SELECT c_custkey,
@@ -525,5 +577,7 @@ object RelationalQueries {
     "q_window_lag_rank" -> (qWindowLagRank _),
     "q_scalar_subquery" -> (qScalarSubquery _),
     "q_star_join" -> (qStarJoin _),
+    "q_range_join" -> (qRangeJoin _),
+    "q_custdist" -> (qCustdist _),
   )
 }
