@@ -67,6 +67,16 @@ object Chunker {
     out.result()
   }
 
-  /** `{task_id}_chunk_{idx:04d}` (reference: app/utils.py:62-64). */
-  def chunkId(taskId: String, index: Int): String = f"${taskId}_chunk_$index%04d"
+  /** `{task_id}_chunk_{idx:04d}` (reference: app/utils.py:62-64). Hand-rolled
+    * zero-pad — the f-interpolator is a String.format parse per call. */
+  def chunkId(taskId: String, index: Int): String = {
+    val sb = new java.lang.StringBuilder(taskId.length + 11)
+    sb.append(taskId).append("_chunk_")
+    if (index >= 0) { // %04d pads positives; indexes are never negative
+      if (index < 1000) sb.append('0')
+      if (index < 100) sb.append('0')
+      if (index < 10) sb.append('0')
+    }
+    sb.append(index).toString
+  }
 }

@@ -15,37 +15,87 @@ object MarkdownSerializer {
     var first = true
     doc.blocks.foreach { b =>
       if (!first) sb.append("\n\n")
-      sb.append(renderBlock(b))
+      renderInto(sb, b)
       first = false
     }
     sb.toString
   }
 
-  def renderBlock(b: Block): String = b match {
-    case HeadingBlock(level, text) => ("#" * level) + " " + text
-    case ParaBlock(text) => text
-    case ListBlock(ordered, items) =>
-      items.zipWithIndex.map { case (item, i) =>
-        if (ordered) s"${i + 1}. $item" else s"- $item"
-      }.mkString("\n")
-    case t: TableBlock => renderTable(t)
-    case CodeBlock(text) => "```\n" + text + "\n```"
-  }
-
-  def renderTable(t: TableBlock): String = {
-    val width = (t.headers.length +: t.rows.map(_.length)).max
-    def pad(cells: Vector[String]): Vector[String] =
-      cells.map(escapeCell).padTo(width, "")
+  def renderBlock(b: Block): String = {
     val sb = new StringBuilder
-    val headers = if (t.headers.nonEmpty) t.headers else Vector.fill(width)("")
-    sb.append(pad(headers).mkString("| ", " | ", " |")).append('\n')
-    sb.append(Vector.fill(width)("---").mkString("| ", " | ", " |"))
-    t.rows.foreach { r => sb.append('\n').append(pad(r).mkString("| ", " | ", " |")) }
+    renderInto(sb, b)
     sb.toString
   }
 
-  private def escapeCell(s: String): String =
-    s.replace("\\", "\\\\").replace("|", "\\|").replace("\n", " ")
+  /** All blocks render straight into one buffer (the per-block intermediate
+    * strings were a measurable slice of kernel garbage — serialize runs once
+    * per document over every kept block). Bytes unchanged; goldens pin it. */
+  private def renderInto(sb: StringBuilder, b: Block): Unit = b match {
+    case HeadingBlock(level, text) =>
+      var k = 0
+      while (k < level) { sb.append('#'); k += 1 }
+      sb.append(' ').append(text)
+    case ParaBlock(text) => sb.append(text)
+    case ListBlock(ordered, items) =>
+      var i = 0
+      items.foreach { item =>
+        if (i > 0) sb.append('\n')
+        if (ordered) sb.append(i + 1).append(". ") else sb.append("- ")
+        sb.append(item)
+        i += 1
+      }
+    case t: TableBlock => renderTableInto(sb, t)
+    case CodeBlock(text) => sb.append("```\n").append(text).append("\n```")
+  }
+
+  def renderTable(t: TableBlock): String = {
+    val sb = new StringBuilder
+    renderTableInto(sb, t)
+    sb.toString
+  }
+
+  private def renderTableInto(sb: StringBuilder, t: TableBlock): Unit = {
+    val width = (t.headers.length +: t.rows.map(_.length)).max
+    appendRow(sb, if (t.headers.nonEmpty) t.headers else Vector.empty, width)
+    sb.append('\n')
+    sb.append("| ")
+    var k = 0
+    while (k < width) {
+      if (k > 0) sb.append(" | ")
+      sb.append("---")
+      k += 1
+    }
+    sb.append(" |")
+    t.rows.foreach { r => sb.append('\n'); appendRow(sb, r, width) }
+  }
+
+  /** `pad(cells).mkString("| ", " | ", " |")` without the padded vector and
+    * per-cell escaped strings: cells beyond `cells.length` render empty. */
+  private def appendRow(sb: StringBuilder, cells: Vector[String], width: Int): Unit = {
+    sb.append("| ")
+    var k = 0
+    while (k < width) {
+      if (k > 0) sb.append(" | ")
+      if (k < cells.length) appendEscapedCell(sb, cells(k))
+      k += 1
+    }
+    sb.append(" |")
+  }
+
+  /** escapeCell fused: `\` → `\\`, `|` → `\|`, newline → space, per char —
+    * identical to the old sequential replaces. */
+  private def appendEscapedCell(sb: StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\\' => sb.append("\\\\")
+        case '|' => sb.append("\\|")
+        case '\n' => sb.append(' ')
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+  }
 }
 
 /** DocTags-style tagged token stream (reference delegates to docling's

@@ -73,10 +73,33 @@ object BlockExtractor {
 
   private def isBoilerplateContainer(e: Element): Boolean = {
     if (BoilerplateTags.contains(e.name)) return true
-    e.attr("role").exists(r => BoilerplateRoles.contains(r.toLowerCase)) || {
-      val marker = (e.attr("class").getOrElse("") + " " + e.attr("id").getOrElse("")).toLowerCase
-      marker.nonEmpty && BoilerplateMarkers.exists(marker.contains)
+    val role = e.attrOrNull("role")
+    if (role != null && BoilerplateRoles.contains(role.toLowerCase)) return true
+    val cls = e.attrOrNull("class")
+    val id = e.attrOrNull("id")
+    if (cls == null && id == null) return false
+    // markers are pure ASCII, so case-insensitive region match ≡ the old
+    // `(class + " " + id).toLowerCase.contains(m)` (no marker contains ' ',
+    // so nothing could span the class/id boundary) — minus two allocations
+    // per element
+    var k = 0
+    while (k < BoilerplateMarkers.length) {
+      val m = BoilerplateMarkers(k)
+      if ((cls != null && containsIgnoreCase(cls, m)) || (id != null && containsIgnoreCase(id, m))) return true
+      k += 1
     }
+    false
+  }
+
+  private def containsIgnoreCase(hay: String, needle: String): Boolean = {
+    val nl = needle.length
+    var k = 0
+    val limit = hay.length - nl
+    while (k <= limit) {
+      if (hay.regionMatches(true, k, needle, 0, nl)) return true
+      k += 1
+    }
+    false
   }
 
   private def walk(e: Element, out: ArrayBuffer[Block], insideBoiler: Boolean): Unit = {
@@ -120,7 +143,7 @@ object BlockExtractor {
 
   private def emitPara(nodes: collection.Seq[Node], out: ArrayBuffer[Block]): Unit = {
     val txt = renderInline(nodes)
-    val words = countWords(stripInlineMd(txt))
+    val words = countWordsMdStripped(txt)
     if (words == 0) return
     val ld = linkDensity(nodes)
     val keep = (words >= 3 && ld <= 0.33) || (words >= 30 && ld <= 0.55)
@@ -167,25 +190,43 @@ object BlockExtractor {
     * entity decoder. */
   def renderInline(nodes: collection.Seq[Node]): String = {
     val sb = new StringBuilder
+    // Children are rendered straight into `sb` and whitespace-normalized IN
+    // PLACE over the just-written region (the old path substring'd the region
+    // out, normalized, reset, re-appended — three allocations per inline
+    // element). Output bytes are identical: normalizeRegion is normalizeWs
+    // over sb[start, end).
+    def wrapMark(el: Element, mark: String): Unit = {
+      val outer = sb.length
+      sb.append(mark)
+      val start = sb.length
+      el.children.foreach(rec)
+      normalizeRegion(sb, start)
+      if (sb.length == start) sb.setLength(outer) // empty inner → no markers
+      else sb.append(mark)
+    }
     def rec(node: Node): Unit = node match {
       case TextNode(t) => sb.append(t)
       case el: Element => el.name match {
         case "br" => sb.append(' ')
         case "img" => // extract_images=false default: images skipped
-        case "b" | "strong" =>
-          val inner = renderInlineOf(el)
-          if (inner.nonEmpty) { sb.append("**").append(inner).append("**") }
-        case "i" | "em" =>
-          val inner = renderInlineOf(el)
-          if (inner.nonEmpty) { sb.append('*').append(inner).append('*') }
-        case "code" | "kbd" | "samp" | "tt" =>
-          val inner = renderInlineOf(el)
-          if (inner.nonEmpty) { sb.append('`').append(inner).append('`') }
+        case "b" | "strong" => wrapMark(el, "**")
+        case "i" | "em" => wrapMark(el, "*")
+        case "code" | "kbd" | "samp" | "tt" => wrapMark(el, "`")
         case "a" =>
-          val inner = renderInlineOf(el)
-          el.attr("href").filter(h => h.nonEmpty && !h.startsWith("#") && !h.startsWith("javascript:")) match {
-            case Some(href) if inner.nonEmpty => sb.append('[').append(inner).append("](").append(href).append(')')
-            case _ => sb.append(inner)
+          val h = el.attrOrNull("href")
+          val valid = h != null && h.nonEmpty && !h.startsWith("#") && !h.startsWith("javascript:")
+          if (valid) {
+            val outer = sb.length
+            sb.append('[')
+            val start = sb.length
+            el.children.foreach(rec)
+            normalizeRegion(sb, start)
+            if (sb.length == start) sb.setLength(outer) // empty anchor text → nothing
+            else sb.append("](").append(h).append(')')
+          } else {
+            val start = sb.length
+            el.children.foreach(rec)
+            normalizeRegion(sb, start)
           }
         case "sub" | "sup" | "span" | "u" | "s" | "small" | "abbr" | "cite" | "q" | "mark" |
              "time" | "var" | "data" | "bdi" | "bdo" | "ins" | "del" | "font" | "big" =>
@@ -194,15 +235,31 @@ object BlockExtractor {
           el.children.foreach(rec)
       }
     }
-    def renderInlineOf(el: Element): String = {
-      val saved = sb.length
-      el.children.foreach(rec)
-      val inner = sb.substring(saved)
-      sb.setLength(saved)
-      normalizeWs(inner)
-    }
     nodes.foreach(rec)
-    normalizeWs(sb.toString)
+    normalizeRegion(sb, 0)
+    sb.toString
+  }
+
+  /** normalizeWs over `sb[from, sb.length)` in place (two-pointer compact). */
+  private def normalizeRegion(sb: StringBuilder, from: Int): Unit = {
+    val n = sb.length
+    var r = from
+    var w = from
+    var pendingSpace = false
+    var started = false
+    while (r < n) {
+      val c = sb.charAt(r)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') {
+        pendingSpace = started
+      } else {
+        if (pendingSpace) { sb.setCharAt(w, ' '); w += 1; pendingSpace = false }
+        sb.setCharAt(w, c)
+        w += 1
+        started = true
+      }
+      r += 1
+    }
+    sb.setLength(w)
   }
 
   /** Plain text of a subtree (no markers), whitespace preserved for pre. */
@@ -265,9 +322,24 @@ object BlockExtractor {
     count
   }
 
-  /** Strip our inline markdown spans for word counting. */
-  private def stripInlineMd(s: String): String =
-    s.replace("**", "").replace("*", "").replace("`", "")
+  /** countWords(stripInlineMd(s)) fused: `'*'`/`` '`' `` contribute nothing
+    * and preserve in-word state — exactly what deleting them did, without
+    * the three intermediate strings per paragraph. */
+  private def countWordsMdStripped(s: String): Int = {
+    var count = 0
+    var inWord = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '*' && c != '`') {
+        val ws = c == ' ' || c == '\t' || c == '\n'
+        if (!ws && !inWord) { count += 1; inWord = true }
+        else if (ws) inWord = false
+      }
+      i += 1
+    }
+    count
+  }
 
   /** Fraction of words inside <a> elements over total words in the run. */
   private def linkDensity(nodes: collection.Seq[Node]): Double = {

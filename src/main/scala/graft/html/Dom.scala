@@ -13,7 +13,18 @@ final class Element(
     val attrs: List[(String, String)],
     val children: ArrayBuffer[Node] = ArrayBuffer.empty,
 ) extends Node {
-  def attr(key: String): Option[String] = attrs.collectFirst { case (k, v) if k == key => v }
+  def attr(key: String): Option[String] = Option(attrOrNull(key))
+
+  /** Allocation-free attr lookup for hot paths (no Option, no closure). */
+  def attrOrNull(key: String): String = {
+    var cur = attrs
+    while (cur.nonEmpty) {
+      val kv = cur.head
+      if (kv._1 == key) return kv._2
+      cur = cur.tail
+    }
+    null
+  }
   override def toString: String = s"<$name>(${children.size})"
 }
 
@@ -45,28 +56,30 @@ object TreeBuilder {
   private val CellFence = Set("tr", "table")
   private val TrFence = Set("table")
 
-  def build(tokens: Iterator[HtmlTokenizer.Tok]): Element = {
+  /** The insertion-mode logic as a push-mode [[HtmlTokenizer.Sink]] — the
+    * tokenizer drives it directly in [[parse]], so the main path allocates
+    * no per-token wrapper objects or queues. */
+  private final class BuilderSink extends HtmlTokenizer.Sink {
     val root = new Element("#root", Nil)
-    val stack = ArrayBuffer[Element](root)
-    var dropDepth = 0 // >0 while inside a DropSubtree element
-    var dropTag: String = null
+    private val stack = ArrayBuffer[Element](root)
+    private var dropDepth = 0 // >0 while inside a DropSubtree element
+    private var dropTag: String = null
 
-    @inline def top: Element = stack.last
+    @inline private def top: Element = stack.last
 
-    def closeUpTo(name: String): Boolean = {
+    private def closeUpTo(name: String): Unit = {
       var k = stack.length - 1
       while (k >= 1) {
         if (stack(k).name == name) {
           stack.dropRightInPlace(stack.length - k)
-          return true
+          return
         }
         k -= 1
       }
-      false
     }
 
     /** Close `target` if it is open above any element in `fence`. */
-    def autoClose(target: String, fence: Set[String]): Unit = {
+    private def autoClose(target: String, fence: Set[String]): Unit = {
       var k = stack.length - 1
       while (k >= 1) {
         val nm = stack(k).name
@@ -76,47 +89,58 @@ object TreeBuilder {
       }
     }
 
-    tokens.foreach {
-      case HtmlTokenizer.Text(t) =>
-        if (dropDepth == 0 && t.nonEmpty) {
-          top.children += TextNode(t)
-        }
+    def onText(t: String): Unit =
+      if (dropDepth == 0 && t.nonEmpty) {
+        top.children += TextNode(t)
+      }
 
-      case HtmlTokenizer.StartTag(name, attrs, selfClosing) =>
-        if (dropDepth > 0) {
-          if (name == dropTag) dropDepth += 1
-        } else if (DropSubtree.contains(name)) {
-          if (!selfClosing) { dropDepth = 1; dropTag = name }
-        } else {
-          // auto-close rules
-          if (name == "p" || (BlockLevel.contains(name) && name != "li")) {
-            autoClose("p", PFence)
-          }
-          if (name == "li") autoClose("li", LiFence)
-          if (name == "td" || name == "th") {
-            autoClose("td", CellFence); autoClose("th", CellFence)
-          }
-          if (name == "tr") {
-            autoClose("td", CellFence); autoClose("th", CellFence)
-            autoClose("tr", TrFence)
-          }
-          val el = new Element(name, attrs)
-          top.children += el
-          if (!selfClosing && !Void.contains(name)) stack += el
+    def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+      if (dropDepth > 0) {
+        if (name == dropTag) dropDepth += 1
+      } else if (DropSubtree.contains(name)) {
+        if (!selfClosing) { dropDepth = 1; dropTag = name }
+      } else {
+        // auto-close rules
+        if (name == "p" || (BlockLevel.contains(name) && name != "li")) {
+          autoClose("p", PFence)
         }
+        if (name == "li") autoClose("li", LiFence)
+        if (name == "td" || name == "th") {
+          autoClose("td", CellFence); autoClose("th", CellFence)
+        }
+        if (name == "tr") {
+          autoClose("td", CellFence); autoClose("th", CellFence)
+          autoClose("tr", TrFence)
+        }
+        val el = new Element(name, attrs)
+        top.children += el
+        if (!selfClosing && !Void.contains(name)) stack += el
+      }
 
-      case HtmlTokenizer.EndTag(name) =>
-        if (dropDepth > 0) {
-          if (name == dropTag) {
-            dropDepth -= 1
-            if (dropDepth == 0) dropTag = null
-          }
-        } else if (!Void.contains(name)) {
-          closeUpTo(name) // ignored when not open
+    def onEndTag(name: String): Unit =
+      if (dropDepth > 0) {
+        if (name == dropTag) {
+          dropDepth -= 1
+          if (dropDepth == 0) dropTag = null
         }
-    }
-    root
+      } else if (!Void.contains(name)) {
+        closeUpTo(name) // ignored when not open
+      }
   }
 
-  def parse(html: String): Element = build(HtmlTokenizer.tokenize(html))
+  def build(tokens: Iterator[HtmlTokenizer.Tok]): Element = {
+    val sink = new BuilderSink
+    tokens.foreach {
+      case HtmlTokenizer.Text(t) => sink.onText(t)
+      case HtmlTokenizer.StartTag(name, attrs, selfClosing) => sink.onStartTag(name, attrs, selfClosing)
+      case HtmlTokenizer.EndTag(name) => sink.onEndTag(name)
+    }
+    sink.root
+  }
+
+  def parse(html: String): Element = {
+    val sink = new BuilderSink
+    HtmlTokenizer.parse(html, sink)
+    sink.root
+  }
 }

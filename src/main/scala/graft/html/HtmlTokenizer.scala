@@ -1,6 +1,5 @@
 package graft.html
 
-import java.util.Locale
 import scala.collection.mutable.ArrayBuffer
 
 /** Streaming HTML tokenizer — a WHATWG-tokenizer-state subset implemented as
@@ -13,6 +12,11 @@ import scala.collection.mutable.ArrayBuffer
   * (`<!-- -->` incl. bogus), DOCTYPE-as-bogus, RAWTEXT for script/style
   * (skips to the matching `</script`/`</style`). Anything malformed falls
   * back to emitting text — garbage in, best-effort tokens out, never throws.
+  *
+  * Two surfaces over the same state machine:
+  *  - [[parse]] pushes events straight into a [[Sink]] — the hot path
+  *    (TreeBuilder implements Sink), zero per-token wrapper objects;
+  *  - [[tokenize]] materializes the [[Tok]] stream for tests/tools.
   */
 object HtmlTokenizer {
 
@@ -23,26 +27,37 @@ object HtmlTokenizer {
   final case class EndTag(name: String) extends Tok
   final case class Text(s: String) extends Tok
 
+  /** Push-mode receiver: one call per token, no token objects allocated. */
+  trait Sink {
+    def onText(t: String): Unit
+    def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit
+    def onEndTag(name: String): Unit
+  }
+
   private val RawTextTags = Set("script", "style")
 
-  def tokenize(html: String): Iterator[Tok] = new Iterator[Tok] {
-    private val s = html
+  /** Compatibility/testing surface: the buffered token stream. */
+  def tokenize(html: String): Iterator[Tok] = {
+    val buf = ArrayBuffer.empty[Tok]
+    parse(html, new Sink {
+      def onText(t: String): Unit = buf += Text(t)
+      def onStartTag(name: String, attrs: List[(String, String)], selfClosing: Boolean): Unit =
+        buf += StartTag(name, attrs, selfClosing)
+      def onEndTag(name: String): Unit = buf += EndTag(name)
+    })
+    buf.iterator
+  }
+
+  /** Single forward scan of `html`, events pushed into `sink`. */
+  def parse(html: String, sink: Sink): Unit = new Parser(html, sink).run()
+
+  private final class Parser(s: String, sink: Sink) {
     private val n = s.length
     private var i = 0
-    private val queue = ArrayBuffer.empty[Tok]
-    private var qHead = 0 // consume via index — remove(0) would shift
+    private var tagNameEnd = 0 // out-param of readTagName (avoids a tuple per tag)
 
-    override def hasNext: Boolean = { fill(); qHead < queue.length }
-    override def next(): Tok = {
-      fill()
-      val t = queue(qHead)
-      qHead += 1
-      if (qHead == queue.length) { queue.clear(); qHead = 0 }
-      t
-    }
-
-    private def fill(): Unit = {
-      while (qHead >= queue.length && i < n) step()
+    def run(): Unit = {
+      while (i < n) step()
     }
 
     @inline private def isAsciiAlpha(c: Char): Boolean =
@@ -52,17 +67,17 @@ object HtmlTokenizer {
       // Data state: scan text until '<'
       val lt = s.indexOf('<', i)
       if (lt < 0) {
-        if (i < n) queue += Text(Entities.decode(s.substring(i)))
+        if (i < n) sink.onText(Entities.decode(if (i == 0) s else s.substring(i)))
         i = n
         return
       }
       if (lt > i) {
-        queue += Text(Entities.decode(s.substring(i, lt)))
+        sink.onText(Entities.decode(s.substring(i, lt)))
         i = lt
         return
       }
       // i points at '<'
-      if (i + 1 >= n) { queue += Text("<"); i = n; return }
+      if (i + 1 >= n) { sink.onText("<"); i = n; return }
       val c1 = s.charAt(i + 1)
       if (c1 == '!') {
         // comment / CDATA / doctype / bogus
@@ -81,11 +96,11 @@ object HtmlTokenizer {
         i = if (end < 0) n else end + 1
       } else if (c1 == '/') {
         if (i + 2 < n && isAsciiAlpha(s.charAt(i + 2))) {
-          val (name, after) = readTagName(i + 2)
+          val name = readTagName(i + 2)
           // skip to '>'
-          val gt = s.indexOf('>', after)
+          val gt = s.indexOf('>', tagNameEnd)
           i = if (gt < 0) n else gt + 1
-          queue += EndTag(name)
+          sink.onEndTag(name)
         } else { // "</>" or "</ " → bogus, skip to '>'
           val end = s.indexOf('>', i + 2)
           i = if (end < 0) n else end + 1
@@ -94,27 +109,29 @@ object HtmlTokenizer {
         readStartTag()
       } else {
         // lone '<' → literal text
-        queue += Text("<")
+        sink.onText("<")
         i += 1
       }
     }
 
-    private def readTagName(from: Int): (String, Int) = {
+    /** Name is interned when known (Names) — the old
+      * `substring.toLowerCase` pair per tag dominated tokenizer garbage. */
+    private def readTagName(from: Int): String = {
       var j = from
-      while (j < n) {
+      var done = false
+      while (j < n && !done) {
         val c = s.charAt(j)
-        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '/' || c == '>') {
-          return (s.substring(from, j).toLowerCase(Locale.ROOT), j)
-        }
-        j += 1
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '/' || c == '>') done = true
+        else j += 1
       }
-      (s.substring(from, j).toLowerCase(Locale.ROOT), j)
+      tagNameEnd = j
+      Names.intern(s, from, j)
     }
 
     private def readStartTag(): Unit = {
-      val (name, afterName) = readTagName(i + 1)
-      var j = afterName
-      val attrs = List.newBuilder[(String, String)]
+      val name = readTagName(i + 1)
+      var j = tagNameEnd
+      var attrsB: scala.collection.mutable.Builder[(String, String), List[(String, String)]] = null
       var selfClosing = false
       var done = false
       while (!done && j < n) {
@@ -130,7 +147,7 @@ object HtmlTokenizer {
             // attribute name
             val nameStart = j
             while (j < n && !isWs(s.charAt(j)) && s.charAt(j) != '=' && s.charAt(j) != '>' && s.charAt(j) != '/') j += 1
-            val aname = s.substring(nameStart, j).toLowerCase(Locale.ROOT)
+            val aname = Names.intern(s, nameStart, j)
             while (j < n && isWs(s.charAt(j))) j += 1
             var avalue = ""
             if (j < n && s.charAt(j) == '=') {
@@ -150,10 +167,14 @@ object HtmlTokenizer {
                 }
               }
             }
-            if (aname.nonEmpty) attrs += ((aname, Entities.decode(avalue)))
+            if (aname.nonEmpty) {
+              if (attrsB == null) attrsB = List.newBuilder[(String, String)]
+              attrsB += ((aname, Entities.decode(avalue)))
+            }
         }
       }
       i = j
+      val attrs = if (attrsB == null) Nil else attrsB.result()
       if (RawTextTags.contains(name) && !selfClosing) {
         // RAWTEXT: skip everything to the matching close tag (case-insensitive)
         val closeIdx = indexOfIgnoreCase(s, "</" + name, i)
@@ -161,10 +182,10 @@ object HtmlTokenizer {
           val gt = s.indexOf('>', closeIdx)
           i = if (gt < 0) n else gt + 1
         }
-        queue += StartTag(name, attrs.result(), selfClosing = false)
-        queue += EndTag(name)
+        sink.onStartTag(name, attrs, selfClosing = false)
+        sink.onEndTag(name)
       } else {
-        queue += StartTag(name, attrs.result(), selfClosing)
+        sink.onStartTag(name, attrs, selfClosing)
       }
     }
 
