@@ -50,6 +50,24 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi join in LSH dedup:\n$plan")
   }
 
+  test("range join broadcasts the band dim (no shuffle of the fact side)") {
+    val plan = planOf(RelationalQueries.qRangeJoin(spark, dir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"band dim not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // exactly one exchange expected: the post-aggregation sort/partial-final
+    // plumbing — the fact scan itself must not shuffle before the join
+    val joinIdx = plan.indexOf("BroadcastNestedLoopJoin")
+    val preJoin = plan.substring(joinIdx)
+    assert(preJoin.contains("FileScan parquet"), "fact scan should feed the join directly")
+  }
+
+  test("custdist left join preserves customers and aggregates twice") {
+    val plan = planOf(RelationalQueries.qCustdist(spark, dir))
+    assert(plan.contains("LeftOuter") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), s"no outer join found:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
     df.collect() // finalize THIS df's AQE plan (count() would re-plan)
