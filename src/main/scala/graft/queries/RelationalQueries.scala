@@ -232,18 +232,35 @@ object RelationalQueries {
 
   /** As-of join — for each event, the latest order of the same customer at
     * or before the event time (the operator Spark lacks natively; composed
-    * per the preference order as equi-join on the key + time-range residual
-    * + lexicographic max pick, deterministic tie-break on o_orderkey).
-    * At scale the equi key bounds the join; AQE splits skewed customers. */
+    * per the preference order from built-ins as the union-merge pattern:
+    * tag both sides, union, one window per key ordered by time, carry the
+    * last-seen order key forward).
+    *
+    * Why not equi-join + time filter + max-pick: that materializes every
+    * (event, earlier-order) PAIR before aggregating — per-key quadratic,
+    * and a single hot customer at 10^12 rows produces an unboundedly wide
+    * intermediate. The union-window form is one shuffle + one sort of
+    * events+orders, linear per key, and AQE still splits skewed keys.
+    * Ordering (ts, is_event, o_orderkey) reproduces the inclusive `<=` and
+    * the (o_orderdate, o_orderkey) lexicographic-max tie-break exactly:
+    * orders sort before events at equal ts, later/higher orders last. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = t(spark, dir, "events").where(col("user_id") <= 300)
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(
+        col("user_id"), col("ts"), lit(1).as("is_event"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"))
     val o = t(spark, dir, "orders")
-      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
-    e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"), "inner")
-      .groupBy(col("event_id"))
-      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
-      .select(col("event_id"), col("best.o_orderkey").as("asof_orderkey"))
+      .where(col("o_custkey") <= 300) // mirror the probe-side key filter
+      .select(
+        col("o_custkey").as("user_id"), col("o_orderdate").as("ts"), lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .where(col("is_event") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("asof_orderkey"))
       .orderBy(col("event_id"))
   }
 

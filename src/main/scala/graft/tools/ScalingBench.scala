@@ -47,20 +47,44 @@ object ScalingBench {
       * steal confirms), so reps of the two levels are INTERLEAVED and the
       * min per level taken: a steal window then cannot sink one level only,
       * and min approximates the uncontended steady state. */
-    def measureOnce(cores: Int): Double = {
+    def stealTicks(): Long =
+      try {
+        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
+      } catch { case _: Throwable => 0L }
+
+    /** (wall seconds, steal ticks observed during the timed pass). */
+    def measureOnce(cores: Int): (Double, Long) = {
       val spark = GraftSession.local(cores)
       try {
         extractCount(spark) // in-session warmup (codegen/JIT), discarded
+        val s0 = stealTicks()
         val t0 = System.nanoTime()
         require(extractCount(spark) > 0)
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
       } finally spark.stop()
     }
 
+    // A rep whose timed window saw heavy steal is discarded up front (the
+    // min across reps already rejects most contamination, but a fully
+    // stolen session wastes a rep slot; retry up to 3x per level per rep).
+    def measureClean(cores: Int): (Double, Long) = {
+      var last = measureOnce(cores)
+      var tries = 1
+      // reject when > ~1 stolen core avg over the window (100 ticks/core-sec)
+      def dirty(m: (Double, Long)): Boolean = m._2 > math.max(60L, (100.0 * m._1).toLong)
+      while (dirty(last) && tries < 3) {
+        println(f"  retry cores=$cores: ${last._1}%.2fs saw steal=${last._2} ticks")
+        last = measureOnce(cores)
+        tries += 1
+      }
+      last
+    }
+
     val reps = (0 until 4).map { r =>
-      val a = measureOnce(nSmall)
-      val b = measureOnce(nBig)
-      println(f"rep=$r secN=$a%.2f sec4N=$b%.2f")
+      val (a, sa) = measureClean(nSmall)
+      val (b, sb) = measureClean(nBig)
+      println(f"rep=$r secN=$a%.2f (steal $sa) sec4N=$b%.2f (steal $sb)")
       (a, b)
     }
     val secN = reps.map(_._1).min
