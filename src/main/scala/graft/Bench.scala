@@ -37,9 +37,32 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** (wall sec, steal ticks seen during it). A window that saw > ~1
+      * stolen core on average is contamination, not our runtime. */
+    def timeWithSteal(f: => Unit): (Double, Long) = {
+      val s0 = stealTicks()
+      val sec = timeOnce(f)
+      (sec, stealTicks() - s0)
+    }
+    def clean(m: (Double, Long)): Boolean = m._2 <= math.max(60L, (100.0 * m._1).toLong)
+
+    // Per-query: best of 2, plus up to 2 retries when BOTH runs were
+    // steal-contaminated; a global retry budget bounds the worst case of a
+    // sustained storm (the driver runs this unattended).
+    var retryBudget = 64
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
-        Seq(timeOnce(fn(spark, sfDir).count()), timeOnce(fn(spark, sfDir).count())).min
+        val runs = scala.collection.mutable.ArrayBuffer(
+          timeWithSteal(fn(spark, sfDir).count()),
+          timeWithSteal(fn(spark, sfDir).count()))
+        var extra = 0
+        while (!runs.exists(clean) && extra < 2 && retryBudget > 0) {
+          runs += timeWithSteal(fn(spark, sfDir).count())
+          extra += 1
+          retryBudget -= 1
+        }
+        val usable = if (runs.exists(clean)) runs.filter(clean) else runs
+        usable.map(_._1).min
       } catch { case _: Throwable => -1.0 }
       name -> t
     }
@@ -62,7 +85,15 @@ object Bench {
         .where("status = 'completed'").count()
     }
     freshExtract() // warm
-    val extractSec = (0 until 3).map(_ => timeOnce(freshExtract())).min
+    val extractRuns = scala.collection.mutable.ArrayBuffer(
+      (0 until 3).map(_ => timeWithSteal(freshExtract())): _*)
+    var extractExtra = 0
+    while (!extractRuns.exists(clean) && extractExtra < 3) {
+      extractRuns += timeWithSteal(freshExtract())
+      extractExtra += 1
+    }
+    val extractSec =
+      (if (extractRuns.exists(clean)) extractRuns.filter(clean) else extractRuns).map(_._1).min
     val pagesPerSec = nPages / extractSec
     val stealDelta = stealTicks() - steal0
 

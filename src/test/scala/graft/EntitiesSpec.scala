@@ -14,6 +14,15 @@ class EntitiesSpec extends AnyFunSuite {
     assert(Entities.decode("&euro;100, &copy; 2025") == "€100, © 2025")
   }
 
+  test("HTML4 extended named set: Latin-1, symbols, Greek, case-sensitive") {
+    assert(Entities.decode("&Eacute;l&eacute;phant") == "Éléphant")
+    assert(Entities.decode("&frac12; + &frac14; = &frac34;") == "½ + ¼ = ¾")
+    assert(Entities.decode("&alpha;&beta;&Gamma; &rarr; &infin;") == "αβΓ → ∞")
+    assert(Entities.decode("&Oslash; vs &oslash;") == "Ø vs ø") // names are case-sensitive
+    assert(Entities.decode("5&thinsp;000") == "5 000")
+    assert(Entities.decode("&ndash;&mdash;&permil;") == "–—‰")
+  }
+
   test("unknown / malformed refs stay literal") {
     assert(Entities.decode("&unknown; &amp") == "&unknown; &amp")
     assert(Entities.decode("&;") == "&;")
