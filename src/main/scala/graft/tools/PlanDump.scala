@@ -12,6 +12,7 @@ object PlanDump {
     val spark = GraftSession.local(8)
     val names = Seq(
       "q_filter_project", "q1_lineitem_agg", "q_join_stats", "q_asof_join",
+      "q_range_join", "q_custdist",
       "q_dedup_minhash_lsh", "q_ann_brute_force", "x_extract_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — explain(formatted) of headline queries (")
