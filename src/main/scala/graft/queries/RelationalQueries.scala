@@ -378,6 +378,18 @@ object RelationalQueries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** Tumbling time buckets: hourly event rollup via date_trunc — the batch
+    * analog of the streaming windowed aggregation (StreamingExtract), and
+    * the time-partitioning shape a crawl table would use at scale. */
+  def qTimeBuckets(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("hour_ts"), "yyyy-MM-dd HH:mm:ss").as("hour_s"),
+        col("n"), col("sum_value"))
+      .orderBy(col("hour_s"))
+
   /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
     * implementations differ across engines, so rows-only (the exact
     * variant is oracled in q_distinct_users). */
@@ -400,6 +412,10 @@ object RelationalQueries {
         |SELECT band, count(*) AS n, round(avg(value), 2) AS avg_value
         |FROM events JOIN bands ON value >= lo AND value < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_buckets" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_custdist" ->
       """SELECT c_count, count(*) AS custdist FROM (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
@@ -596,5 +612,6 @@ object RelationalQueries {
     "q_star_join" -> (qStarJoin _),
     "q_range_join" -> (qRangeJoin _),
     "q_custdist" -> (qCustdist _),
+    "q_time_buckets" -> (qTimeBuckets _),
   )
 }
