@@ -41,11 +41,14 @@ object BlockExtractor {
     "cite", "q", "sub", "sup", "mark", "time", "kbd", "samp", "var", "br",
     "img", "wbr", "data", "bdi", "bdo", "ins", "del", "font", "big", "tt")
 
-  /** Extract the document model from parsed HTML. `name` = title fallback. */
-  def extract(root: Element, fallbackName: String): DocModel = {
+  /** Extract the document model from parsed HTML. `name` = title fallback.
+    * `extractImages` honors the reference's `extract_images` option
+    * (app/models.py:49-52): images render as markdown `![alt](src)` spans
+    * inside their inline run; off (the reference default) they are skipped. */
+  def extract(root: Element, fallbackName: String, extractImages: Boolean = false): DocModel = {
     val title = findTitle(root)
     val blocks = ArrayBuffer.empty[Block]
-    walk(root, blocks, insideBoiler = false)
+    walk(root, blocks, insideBoiler = false, images = extractImages)
     val kept = blocks.toVector
     DocModel(
       name = title.getOrElse(fallbackName),
@@ -102,13 +105,13 @@ object BlockExtractor {
     false
   }
 
-  private def walk(e: Element, out: ArrayBuffer[Block], insideBoiler: Boolean): Unit = {
+  private def walk(e: Element, out: ArrayBuffer[Block], insideBoiler: Boolean, images: Boolean): Unit = {
     if (insideBoiler) return
     // pending inline run directly under this container (div/section/body text)
     val inlineRun = ArrayBuffer.empty[Node]
     def flushInline(): Unit = {
       if (inlineRun.nonEmpty) {
-        emitPara(inlineRun, out)
+        emitPara(inlineRun, out, images)
         inlineRun.clear()
       }
     }
@@ -121,12 +124,12 @@ object BlockExtractor {
         if (!isBoilerplateContainer(el)) {
           el.name match {
             case h if HeadingTags.contains(h) =>
-              val txt = renderInline(el.children)
+              val txt = renderInline(el.children, images)
               if (countWords(txt) >= 1) out += HeadingBlock(HeadingTags(h), txt)
             case "p" | "blockquote" | "figcaption" | "caption" | "dd" | "dt" | "address" | "summary" | "details" =>
-              emitPara(el.children, out)
+              emitPara(el.children, out, images)
             case "ul" | "ol" =>
-              emitList(el, out)
+              emitList(el, out, images)
             case "pre" =>
               val txt = rawText(el).replaceAll("^\n+|\n+$", "")
               if (txt.trim.nonEmpty) out += CodeBlock(txt)
@@ -134,15 +137,15 @@ object BlockExtractor {
               emitTable(el, out)
             case "title" | "head" => // metadata only
             case _ =>
-              walk(el, out, insideBoiler = false)
+              walk(el, out, insideBoiler = false, images)
           }
         }
     }
     flushInline()
   }
 
-  private def emitPara(nodes: collection.Seq[Node], out: ArrayBuffer[Block]): Unit = {
-    val txt = renderInline(nodes)
+  private def emitPara(nodes: collection.Seq[Node], out: ArrayBuffer[Block], images: Boolean): Unit = {
+    val txt = renderInline(nodes, images)
     val words = countWordsMdStripped(txt)
     if (words == 0) return
     val ld = linkDensity(nodes)
@@ -150,10 +153,10 @@ object BlockExtractor {
     if (keep) out += ParaBlock(txt)
   }
 
-  private def emitList(el: Element, out: ArrayBuffer[Block]): Unit = {
+  private def emitList(el: Element, out: ArrayBuffer[Block], images: Boolean): Unit = {
     val ordered = el.name == "ol"
     val items = el.children.collect {
-      case li: Element if li.name == "li" => renderInline(li.children)
+      case li: Element if li.name == "li" => renderInline(li.children, images)
     }.filter(_.nonEmpty).toVector
     if (items.isEmpty) return
     val ld = linkDensity(el.children)
@@ -188,7 +191,7 @@ object BlockExtractor {
   /** Render an inline run to markdown-span text: **b**, *i*, `code`,
     * [text](href); whitespace collapsed; NBSP already normalized by the
     * entity decoder. */
-  def renderInline(nodes: collection.Seq[Node]): String = {
+  def renderInline(nodes: collection.Seq[Node], images: Boolean = false): String = {
     val sb = new StringBuilder
     // Children are rendered straight into `sb` and whitespace-normalized IN
     // PLACE over the just-written region (the old path substring'd the region
@@ -208,7 +211,17 @@ object BlockExtractor {
       case TextNode(t) => sb.append(t)
       case el: Element => el.name match {
         case "br" => sb.append(' ')
-        case "img" => // extract_images=false default: images skipped
+        case "img" =>
+          // extract_images=false (reference default): skipped entirely;
+          // on: markdown image span, alt text may be empty
+          if (images) {
+            val src = el.attrOrNull("src")
+            if (src != null && src.nonEmpty && !src.startsWith("data:")) {
+              val alt = el.attrOrNull("alt")
+              sb.append("![").append(normalizeWs(if (alt == null) "" else alt))
+                .append("](").append(src).append(')')
+            }
+          }
         case "b" | "strong" => wrapMark(el, "**")
         case "i" | "em" => wrapMark(el, "*")
         case "code" | "kbd" | "samp" | "tt" => wrapMark(el, "`")

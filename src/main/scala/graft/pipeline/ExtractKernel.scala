@@ -58,7 +58,7 @@ object ExtractKernel {
       val doc: DocModel = docType match {
         case DocumentType.Html =>
           val html = new String(page.html, java.nio.charset.StandardCharsets.UTF_8)
-          BlockExtractor.extract(TreeBuilder.parse(html), filename)
+          BlockExtractor.extract(TreeBuilder.parse(html), filename, opts.extractImages)
         case DocumentType.Pdf =>
           PdfParser.parse(page.html, filename)
         case DocumentType.Docx =>
