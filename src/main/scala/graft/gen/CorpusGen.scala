@@ -147,6 +147,20 @@ object CorpusGen {
     Page(url, tsFor(i), bytes, lossy, art.lang)
   }
 
+  /** Adversarial handcrafted pages (AdversarialCases) as Page rows — .html
+    * urls so type detection lands on the HTML path even for non-sniffable
+    * payloads (whitespace-only). */
+  def adversarialPages: Vector[(String, Page)] =
+    AdversarialCases.cases.map { case (name, html) =>
+      name -> Page(
+        url = s"https://adversarial.example/cases/$name.html",
+        warc_ts = tsFor(0L),
+        html = html.getBytes("UTF-8"),
+        text = "",
+        lang = "en",
+      )
+    }
+
   /** Generate [0, n) pages; a small fraction of urls repeats with a later
     * warc_ts (latest-crawl dedup exercise): every 37th row duplicates row
     * i-17's url/payload with a newer timestamp. */

@@ -321,15 +321,25 @@ object BlockExtractor {
     sb.toString
   }
 
+  /** Han / kana / Hangul scripts write without spaces — each such char
+    * counts as one word (Trafilatura-style), or whitespace segmentation
+    * would score every CJK paragraph "1 word" and drop it as boilerplate. */
+  @inline private def isCjk(c: Char): Boolean =
+    (c >= 0x3040 && c <= 0x30ff) || (c >= 0x3400 && c <= 0x9fff) ||
+    (c >= 0xac00 && c <= 0xd7af) || (c >= 0xf900 && c <= 0xfaff)
+
   def countWords(s: String): Int = {
     var count = 0
     var inWord = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      val ws = c == ' ' || c == '\t' || c == '\n'
-      if (!ws && !inWord) { count += 1; inWord = true }
-      else if (ws) inWord = false
+      if (isCjk(c)) { count += 1; inWord = false }
+      else {
+        val ws = c == ' ' || c == '\t' || c == '\n'
+        if (!ws && !inWord) { count += 1; inWord = true }
+        else if (ws) inWord = false
+      }
       i += 1
     }
     count
@@ -344,7 +354,8 @@ object BlockExtractor {
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c != '*' && c != '`') {
+      if (isCjk(c)) { count += 1; inWord = false }
+      else if (c != '*' && c != '`') {
         val ws = c == ' ' || c == '\t' || c == '\n'
         if (!ws && !inWord) { count += 1; inWord = true }
         else if (ws) inWord = false

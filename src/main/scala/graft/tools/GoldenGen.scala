@@ -33,7 +33,13 @@ object GoldenGen {
       write(outDir, s"$i.chunks200.json", chunksJson(alt.chunks))
       write(outDir, s"$i.tables.json", tablesJson(jsonRes.tables))
     }
-    println(s"goldens written for $UnitRows rows under $outDir")
+    // adversarial handcrafted cases (SURVEY.md §9 lever 3): md/text/json per case
+    CorpusGen.adversarialPages.foreach { case (name, page) =>
+      write(outDir, s"adv_$name.md", ExtractKernel.extractOne(page, ConversionOptions(outputFormat = OutputFormat.Markdown)).content)
+      write(outDir, s"adv_$name.txt", ExtractKernel.extractOne(page, ConversionOptions(outputFormat = OutputFormat.Text)).content)
+      write(outDir, s"adv_$name.json", ExtractKernel.extractOne(page, ConversionOptions(outputFormat = OutputFormat.Json)).content)
+    }
+    println(s"goldens written for $UnitRows rows + ${CorpusGen.adversarialPages.size} adversarial cases under $outDir")
   }
 
   def chunksJson(chunks: Seq[Chunk]): String =
