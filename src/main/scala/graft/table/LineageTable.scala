@@ -140,6 +140,49 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     else df.where(!org.apache.spark.sql.functions.col("task_id").isin(ts.toSeq: _*))
   }
 
+  // ----------------------------------------------------------- compaction
+
+  /** Rewrite the current snapshot into ONE consolidated bucket-partitioned
+    * data dir + one lineage dir, applying tombstones physically, then
+    * commit a new snapshot referencing only the compacted dirs and clear
+    * the tombstone list (now baked into the data).
+    *
+    * Why: every ExtractJob run appends wave dirs to `data_dirs`, so a
+    * long-lived table accumulates an ever-growing union in `read()` and
+    * tombstoned rows keep occupying storage. Compaction bounds both.
+    * Readers on the previous snapshot stay consistent (its files are not
+    * touched); the superseded dirs age out via [[expireSnapshots]].
+    * Returns the new snapshot id. */
+  def compact(spark: SparkSession, label: String = "compact"): Long = {
+    import org.apache.spark.sql.functions._
+    val newId = currentSnapshotId.getOrElse(0L) + 1L
+    val runId = s"$label-$newId"
+    val dataDir = s"$root/data/$runId"
+    val lineageDir = s"$root/lineage/$runId"
+
+    readVisible(spark)
+      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
+
+    val written = spark.read.parquet(dataDir)
+    written.groupBy(col("_bucket"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failed"),
+        sum(col("processing_time_ms")).as("wall_ms"),
+      )
+      .withColumn("run_id", lit(runId))
+      .withColumn("wave", lit(0))
+      .withColumn("committed_at", current_timestamp())
+      .write.mode(SaveMode.Overwrite).parquet(lineageDir)
+
+    val id = commitSnapshot(Seq(dataDir), Seq(lineageDir), runId,
+      extra = Map("compaction" -> true))
+    // tombstones are physically applied in the compacted files
+    atomicWrite(p("_manifests", "TOMBSTONES"), Json.write(Nil))
+    id
+  }
+
   // ------------------------------------------------------------------- GC
 
   /** Drop snapshots older than `ttlMs` (keeping the current one) and delete

@@ -104,6 +104,39 @@ class ResumeSpec extends AnyFunSuite {
     assert(err.contains("time limit"), err)
   }
 
+  test("compaction: one consolidated dir, tombstones applied physically, old snapshot ages out") {
+    val root = freshRoot()
+    // two runs -> data_dirs accumulates wave dirs across snapshots
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "r1", numBuckets = 8, bucketsPerWave = 4))
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "r2", numBuckets = 8, bucketsPerWave = 4))
+    val table = new LineageTable(root, 8)
+    val before = table.readVisible(spark).count()
+    assert(table.currentDataDirs.size > 1, "precondition: multiple wave dirs")
+
+    // tombstone one task, then compact
+    val victim = table.read(spark).select("task_id").head().getString(0)
+    table.deleteTask(victim)
+    val snapId = table.compact(spark)
+
+    assert(table.currentSnapshotId.contains(snapId))
+    assert(table.currentDataDirs.size == 1, "compaction must consolidate to one data dir")
+    assert(table.tombstones.isEmpty, "tombstones baked in after compaction")
+    val after = table.read(spark)
+    assert(after.count() == before - 1, "tombstoned row physically gone")
+    assert(after.where(s"task_id = '$victim'").count() == 0)
+    // lineage consolidated and consistent
+    val lineage = table.readLineage(spark)
+    assert(lineage.groupBy("_bucket").count().where("count > 1").count() == 0)
+    assert(lineage.groupBy().sum("rows").collect()(0).getLong(0) == before - 1)
+    // bucket pruning still works on the compacted layout
+    val plan = after.where("_bucket = 3").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(_bucket"), s"pruning lost:\n$plan")
+    // GC removes the superseded pre-compaction dirs; table stays readable
+    val deleted = table.expireSnapshots(ttlMs = 0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(deleted > 0)
+    assert(table.read(spark).count() == before - 1)
+  }
+
   test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
     val root = freshRoot()
     val cfgA = ExtractJob.Config(root, runId = "old", numBuckets = 8, bucketsPerWave = 8)
