@@ -144,18 +144,24 @@ object TrainingDataQueries {
     val jaccardUdf = udf((a: String, b: String) => exactJaccard(a, b))
 
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    // band join moves ONLY (doc_id, band) — never text: at 100 TB the
+    // posexplode duplicates every row ×16 bands, so carrying payloads here
+    // would shuffle 16× the corpus; texts are re-joined for the (small)
+    // candidate set afterwards
     val banded = d
-      .select(col("doc_id"), col("text"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
+      .select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
 
-    val left = banded.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val right = banded.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val left = banded.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"))
+    val right = banded.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"))
     val candidates = left.join(right,
         col("bi_a") === col("bi_b") && col("b_a") === col("b_b") &&
           col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
     candidates
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("jaccard_r", round(jaccardUdf(col("text_a"), col("text_b")), 4))
       .where(col("jaccard_r") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard_r"))
@@ -218,12 +224,18 @@ object TrainingDataQueries {
       bandKeys(minhashSig(charShingles(text, 5), bands * rows), bands, rows))
     val jacUdf = udf((a: String, b: String) =>
       jaccardSorted(charShingles(a, 5), charShingles(b, 5)))
-    val d = docs(spark, dir)
-      .select(col("doc_id"), col("text"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
-    val l = d.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val r = d.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"), col("text").as("text_b"))
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    // signatures-only band join (see qDedupMinhashLsh note); texts rejoined
+    // for candidates only
+    val d = base
+      .select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band_idx", "band")))
+    val l = d.select(col("band_idx").as("bi_a"), col("band").as("b_a"), col("doc_id").as("doc_a"))
+    val r = d.select(col("band_idx").as("bi_b"), col("band").as("b_b"), col("doc_id").as("doc_b"))
     l.join(r, col("bi_a") === col("bi_b") && col("b_a") === col("b_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
       .withColumn("jaccard5_r", round(jacUdf(col("text_a"), col("text_b")), 4))
       .where(col("jaccard5_r") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard5_r"))
@@ -298,20 +310,25 @@ object TrainingDataQueries {
   def qDedupEmbCosine(spark: SparkSession, dir: String, threshold: Double = 0.35, topN: Int = 50): DataFrame = {
     val bands = 6
     val bitsPerBand = 8
-    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-      .select(col("vec_id"), col("embedding"), explode(array((0 until bands).map(m =>
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    // band join moves ONLY (vec_id, band_key) — the 384-float vectors are
+    // rejoined for candidate pairs, not duplicated ×6 bands through the
+    // shuffle
+    val e = base
+      .select(col("vec_id"), explode(array((0 until bands).map(m =>
         struct(lit(m).as("band_idx"),
           signSketchCol(col("embedding"), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"))
-      .select(col("vec_id"), col("embedding"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+      .select(col("vec_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
     // rename join keys on BOTH sides: same-lineage column refs would
     // resolve to one attribute and make the equality trivially true
-    val l = e.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val r = e.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val l = e.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"), col("vec_id").as("vec_a"))
+    val r = e.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"), col("vec_id").as("vec_b"))
     l.join(r, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), round(cosineUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
+      .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
+      .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), round(cosineUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
       .where(col("cos_r") >= threshold)
       .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
       .limit(topN)
