@@ -22,5 +22,5 @@ object SparkEntry {
     RelationalQueries.all ++ TrainingDataQueries.all ++ ExtractionQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TrainingDataQueries.oracles
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles ++ ExtractionQueries.oracles
 }

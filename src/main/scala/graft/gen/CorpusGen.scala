@@ -63,8 +63,10 @@ object CorpusGen {
     else (i % 3) match { case 0 => "de"; case 1 => "fr"; case _ => "es" }
   }
 
-  /** Payload type mix: ~10% pdf, ~4% docx, ~4% xlsx, ~4% pptx, rest HTML
-    * (precedence: pdf first — matches urlFor). */
+  /** Payload type mix: ~10% pdf, ~4% docx, ~4% xlsx, ~4% pptx, ~2% png
+    * images (mixed-crawl realism: the reference DocumentType matrix
+    * includes `image`, models.py:26-35), rest HTML (precedence: pdf
+    * first — matches urlFor). */
   def docTypeFor(i: Long): String = {
     if (i % 10 == 7) "pdf"
     else if (i % 25 == 3) "docx"
@@ -72,6 +74,7 @@ object CorpusGen {
     else if (i % 25 == 21) "pptx"
     else if (i % 25 == 9) "md"
     else if (i % 25 == 16) "adoc"
+    else if (i % 25 == 24) "png"
     else "html"
   }
 
@@ -130,20 +133,29 @@ object CorpusGen {
     val art = articleFor(i, seed)
     val url = urlFor(i)
     val rnd = new Random(seed ^ (i * 0x2545f4914f6cdd1dL))
-    val bytes = docTypeFor(i) match {
+    val docType = docTypeFor(i)
+    val bytes = docType match {
       case "pdf" => PdfGen.render(art, rnd)
       case "docx" => OoxmlGen.renderDocx(art, rnd)
       case "xlsx" => OoxmlGen.renderXlsx(art, rnd)
       case "pptx" => OoxmlGen.renderPptx(art, rnd)
       case "md" => TextDocGen.renderMd(art)
       case "adoc" => TextDocGen.renderAdoc(art)
+      case "png" =>
+        // valid PNG signature + IHDR dims, garbage payload (no codecs
+        // offline); the kernel must produce a completed envelope with the
+        // header dims, not a failed row
+        graft.multimodal.Media.fakePng(320 + rnd.nextInt(1280), 240 + rnd.nextInt(960), rnd)
       case _ => HtmlGen.render(art, rnd).getBytes("UTF-8")
     }
-    // `text` column = lossy pre-extracted text as found in CC tables (NOT the golden)
-    val lossy = art.pieces.collect {
-      case GPara(ss) => ss.map(_.mkString(" ")).mkString(". ")
-      case GHeading(_, ws) => ws.mkString(" ")
-    }.mkString("\n")
+    // `text` column = lossy pre-extracted text as found in CC tables (NOT
+    // the golden); empty for images — a crawler extracts no text from them
+    val lossy =
+      if (docType == "png") ""
+      else art.pieces.collect {
+        case GPara(ss) => ss.map(_.mkString(" ")).mkString(". ")
+        case GHeading(_, ws) => ws.mkString(" ")
+      }.mkString("\n")
     Page(url, tsFor(i), bytes, lossy, art.lang)
   }
 

