@@ -70,13 +70,14 @@ object Chunker {
   /** `{task_id}_chunk_{idx:04d}` (reference: app/utils.py:62-64). Hand-rolled
     * zero-pad — the f-interpolator is a String.format parse per call. */
   def chunkId(taskId: String, index: Int): String = {
+    // %04d only pads non-negatives the same way; make the T8
+    // reference-exact invariant self-checking instead of silently deviating
+    assert(index >= 0, s"chunk index must be non-negative, got $index")
     val sb = new java.lang.StringBuilder(taskId.length + 11)
     sb.append(taskId).append("_chunk_")
-    if (index >= 0) { // %04d pads positives; indexes are never negative
-      if (index < 1000) sb.append('0')
-      if (index < 100) sb.append('0')
-      if (index < 10) sb.append('0')
-    }
+    if (index < 1000) sb.append('0')
+    if (index < 100) sb.append('0')
+    if (index < 10) sb.append('0')
     sb.append(index).toString
   }
 }

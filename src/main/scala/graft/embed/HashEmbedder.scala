@@ -2,11 +2,15 @@ package graft.embed
 
 import scala.util.hashing.MurmurHash3
 
-/** Deterministic 384-d hashed-n-gram embedding — the offline drop-in for the
+/** Deterministic hashed-n-gram embedding — the offline drop-in for the
   * reference's sentence-transformers MiniLM (app/embeddings.py:51-150;
-  * 384-d per docs/CONFIGURATION.md:58). Envelope semantics preserved:
+  * 384-d default per docs/CONFIGURATION.md:58). Envelope semantics
+  * preserved:
   *  - blank text → exact zero vector (embeddings.py:61-62, 99-109);
-  *  - fixed dimension 384; L2-normalized otherwise;
+  *  - configurable dimension, default 384 (the reference reads
+  *    EMBEDDING_MODEL and exposes embedding_dimension,
+  *    embeddings.py:20-47 — here the "model" is the hash family and the
+  *    dimension is the envelope parameter); L2-normalized otherwise;
   *  - batch API mirrors generate_embeddings.
   * Feature map: lowercased word unigrams + char trigrams, hashed with
   * MurmurHash3 (stable across JVMs) into signed buckets (feature hashing).
@@ -27,8 +31,9 @@ object HashEmbedder {
     true
   }
 
-  def embed(text: String): Array[Float] = {
-    val v = new Array[Float](Dim)
+  def embed(text: String, dim: Int = Dim): Array[Float] = {
+    require(dim > 0, s"embedding dimension must be positive, got $dim")
+    val v = new Array[Float](dim)
     if (isBlank(text)) return v // zero vector for blank (reference semantics)
     val lower = text.toLowerCase
     // word unigrams
@@ -61,10 +66,10 @@ object HashEmbedder {
     v
   }
 
-  def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
+  def embedBatch(texts: Seq[String], dim: Int = Dim): Seq[Array[Float]] = texts.map(embed(_, dim))
 
   @inline private def addFeature(v: Array[Float], h: Int): Unit = {
-    val idx = java.lang.Math.floorMod(h, Dim)
+    val idx = java.lang.Math.floorMod(h, v.length)
     val sign = if ((h & 0x80000000) != 0) -1f else 1f
     v(idx) += sign
   }

@@ -81,10 +81,12 @@ object BlockExtractor {
     val cls = e.attrOrNull("class")
     val id = e.attrOrNull("id")
     if (cls == null && id == null) return false
-    // markers are pure ASCII, so case-insensitive region match ≡ the old
-    // `(class + " " + id).toLowerCase.contains(m)` (no marker contains ' ',
-    // so nothing could span the class/id boundary) — minus two allocations
-    // per element
+    // markers are pure ASCII; for ASCII class/id values the case-insensitive
+    // region match equals `(class + " " + id).toLowerCase.contains(m)` (no
+    // marker contains ' ', so nothing spans the class/id boundary) — minus
+    // two allocations per element. For exotic-case input (e.g. 'İ') the
+    // per-char simple fold differs from full toLowerCase mapping; the
+    // locale-independent behavior here is the intended one.
     var k = 0
     while (k < BoilerplateMarkers.length) {
       val m = BoilerplateMarkers(k)
@@ -217,9 +219,15 @@ object BlockExtractor {
           if (images) {
             val src = el.attrOrNull("src")
             if (src != null && src.nonEmpty && !src.startsWith("data:")) {
-              val alt = el.attrOrNull("alt")
-              sb.append("![").append(normalizeWs(if (alt == null) "" else alt))
-                .append("](").append(src).append(')')
+              val alt = normalizeWs(if (el.attrOrNull("alt") == null) "" else el.attrOrNull("alt"))
+                .replace("]", "\\]") // ']' in alt would close the span early
+              sb.append("![").append(alt).append("](")
+              // ')' or whitespace in the url breaks the span — use the
+              // markdown angle-bracket URL form for those
+              if (src.exists(c => c == ')' || c == '(' || Character.isWhitespace(c)))
+                sb.append('<').append(src).append('>')
+              else sb.append(src)
+              sb.append(')')
             }
           }
         case "b" | "strong" => wrapMark(el, "**")

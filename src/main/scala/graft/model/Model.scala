@@ -27,10 +27,12 @@ final case class ConversionOptions(
     generateEmbeddings: Boolean = false,
     chunkSize: Int = 512,
     chunkOverlap: Int = 50,
+    embeddingDim: Int = 384, // reference embedding_dimension (embeddings.py:20-47)
 ) {
   require(chunkSize >= 100 && chunkSize <= 4096, s"chunk_size $chunkSize not in [100, 4096]")
   require(chunkOverlap >= 0 && chunkOverlap <= 500, s"chunk_overlap $chunkOverlap not in [0, 500]")
   require(OutputFormat.All.contains(outputFormat), s"unknown output_format $outputFormat")
+  require(embeddingDim >= 8 && embeddingDim <= 4096, s"embedding_dim $embeddingDim not in [8, 4096]")
 }
 
 /** Closed string enums (reference: app/models.py:10-35). */

@@ -119,7 +119,7 @@ object ExtractKernel {
             char_start = rc.start,
             char_end = rc.end,
             chunk_size = rc.text.length,
-            embedding = if (opts.generateEmbeddings) HashEmbedder.embed(rc.text) else Array.empty[Float],
+            embedding = if (opts.generateEmbeddings) HashEmbedder.embed(rc.text, opts.embeddingDim) else Array.empty[Float],
           )
         }
       }

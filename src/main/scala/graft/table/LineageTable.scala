@@ -147,14 +147,18 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * commit a new snapshot referencing only the compacted dirs and clear
     * the tombstone list (now baked into the data).
     *
-    * Why: every ExtractJob run appends wave dirs to `data_dirs`, so a
-    * long-lived table accumulates an ever-growing union in `read()` and
-    * tombstoned rows keep occupying storage. Compaction bounds both.
-    * Readers on the previous snapshot stay consistent (its files are not
-    * touched); the superseded dirs age out via [[expireSnapshots]].
-    * Returns the new snapshot id. */
+    * Why: every wave of an ExtractJob run appends a dir to `data_dirs`, so
+    * a long-running job accumulates an ever-growing union in `read()` and
+    * tombstoned rows keep occupying storage; compaction bounds both. (A
+    * subsequent ExtractJob commit supersedes the compacted snapshot — its
+    * own run's dirs become the visible set.) Readers on the previous
+    * snapshot stay consistent (its files are not touched); the superseded
+    * dirs age out via [[expireSnapshots]]. Returns the new snapshot id. */
   def compact(spark: SparkSession, label: String = "compact"): Long = {
     import org.apache.spark.sql.functions._
+    // capture the tombstone set BEFORE the rewrite: a deleteTask() landing
+    // mid-compaction must survive the post-commit tombstone rewrite below
+    val applied = tombstones
     val newId = currentSnapshotId.getOrElse(0L) + 1L
     val runId = s"$label-$newId"
     val dataDir = s"$root/data/$runId"
@@ -178,8 +182,12 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
 
     val id = commitSnapshot(Seq(dataDir), Seq(lineageDir), runId,
       extra = Map("compaction" -> true))
-    // tombstones are physically applied in the compacted files
-    atomicWrite(p("_manifests", "TOMBSTONES"), Json.write(Nil))
+    // clear only the tombstones we KNOW the rewrite applied — not the whole
+    // file: a concurrent deleteTask() between the capture above and here
+    // stays in the list instead of silently resurrecting (readVisible may
+    // have applied a superset of `applied`; keeping those extra ids is a
+    // harmless no-op filter over already-removed rows)
+    atomicWrite(p("_manifests", "TOMBSTONES"), Json.write(tombstones -- applied))
     id
   }
 

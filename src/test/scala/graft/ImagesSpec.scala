@@ -29,6 +29,14 @@ class ImagesSpec extends AnyFunSuite {
     assert(para(doc, 2) == "No src stays out of the text flow.")
   }
 
+  test("span-breaking characters are escaped (ADVICE r1)") {
+    val tricky =
+      """<html><body><p>X <img src="/a b/c(1).png" alt="fig] caption"> Y.</p></body></html>"""
+    val doc = BlockExtractor.extract(TreeBuilder.parse(tricky), "f", extractImages = true)
+    // ']' in alt escaped; url with spaces/parens goes angle-bracketed
+    assert(para(doc, 0) == "X ![fig\\] caption](</a b/c(1).png>) Y.")
+  }
+
   test("kernel honors ConversionOptions.extractImages") {
     val page = Page("https://x.example/a.html", new java.sql.Timestamp(0L),
       html.getBytes("UTF-8"), "", "en")
