@@ -21,7 +21,7 @@ object ScalingBench {
     val nPages = args.headOption.map(_.toInt).getOrElse(160000)
     val nSmall = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val nBig = nSmall * 4
-    val corpusDir = s"/tmp/graft-bench-corpus-$nPages"
+    val corpusDir = s"/tmp/graft-bench-corpus-v${graft.gen.CorpusGen.GenVersion}-$nPages"
 
     // materialize the corpus once (not timed): ~128 files so both levels
     // get fine-grained splits
