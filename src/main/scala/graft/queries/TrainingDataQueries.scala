@@ -20,9 +20,10 @@ import scala.util.hashing.MurmurHash3
   *    map-side pass per document and are tiny relative to text, so the
   *    pair-verification join moves signatures, not full documents, except
   *    the final exact check which re-reads only candidate texts;
-  *  - brute-force cosine stays fully codegen'd (zip_with + aggregate — no
-  *    UDF) and broadcasts the probe vector; the LSH variant prunes to a
-  *    multi-probe sign-bucket neighborhood first.
+  *  - brute-force cosine broadcasts the probe vector and scores with a
+  *    tight-loop quantized UDF (higher-order-function dots are
+  *    CodegenFallback in Spark — measured 30x slower); the LSH variant
+  *    prunes to a multi-probe sign-bucket neighborhood first.
   *
   * Oracle design (round 2): every sketch this file blocks on is derived
   * from DuckDB-reproducible primitives ([[DuckHash]] = md5_number_lower/
@@ -355,30 +356,21 @@ object TrainingDataQueries {
   }
   private val cosineQUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineQ(a, b))
 
-  /** Codegen'd quantized cosine between two array<float> columns — no UDF:
-    * transform to quantized longs, zip_with products, aggregate exact sums.
-    * Used on the broadcast brute-force path (single columnar pass). */
-  def cosineQCol(a: Column, b: Column): Column = {
-    def qz(c: Column): Column =
-      transform(c, v => floor(v.cast("double") * lit(QScale) + lit(0.5)))
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0L), (acc, v) => acc + v)
-    val qa = qz(a)
-    val qb = qz(b)
-    val na = dot(qa, qa)
-    val nb = dot(qb, qb)
-    when(na === 0L || nb === 0L, lit(0.0))
-      .otherwise(dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double")))
-  }
-
   /** Brute-force cosine top-k against probe vec_id=0 (the exact baseline,
-    * DuckDB-oracled). */
+    * DuckDB-oracled). Cosine = the quantized tight-loop UDF rather than
+    * composed transform/zip_with/aggregate dots: higher-order functions
+    * are CodegenFallback (interpreted, boxed lambda per element — here 9
+    * HOF evals x 64 elements per row vs one 64-iteration loop). At sf0.1
+    * both read ~0.3 s warm (fixed job overhead dominates); the per-row gap
+    * is what matters at corpus scale (same trade as [[signSketchCol]]).
+    * The plan is a broadcast nested-loop over the 1-row probe +
+    * TakeOrderedAndProject either way — no shuffle of the corpus side. */
   def qAnnBruteForce(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val e = emb(spark, dir)
     val probe = e.where(col("vec_id") === 0).select(col("embedding").as("probe"))
     e.where(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
-      .select(col("vec_id"), round(cosineQCol(col("embedding"), col("probe")), 4).as("cos_r"))
+      .select(col("vec_id"), round(cosineQUdf(col("embedding"), col("probe")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
@@ -437,7 +429,7 @@ object TrainingDataQueries {
         col("probe_sketch").bitwiseXOR(lit(1L << i))): _*)).as("probe_key"))
     e.where(col("vec_id") =!= 0)
       .join(broadcast(probeKeys), col("sketch") === col("probe_key"))
-      .select(col("vec_id"), round(cosineQCol(col("embedding"), col("probe")), 4).as("cos_r"))
+      .select(col("vec_id"), round(cosineQUdf(col("embedding"), col("probe")), 4).as("cos_r"))
       .orderBy(col("cos_r").desc, col("vec_id"))
       .limit(k)
       .orderBy(col("vec_id"))
