@@ -50,6 +50,23 @@ class PlanSpec extends AnyFunSuite {
       s"non-equi join in LSH dedup:\n$plan")
   }
 
+  test("emb-cosine dedup: band equi-join, candidate rejoin is equi too") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qDedupEmbCosine(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in emb-cosine dedup:\n$plan")
+  }
+
+  test("multi-probe ANN LSH: 17-key probe side is broadcast (no corpus shuffle)") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qAnnLsh(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"probe keys not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // corpus side feeds the join from the scan — no Exchange between the
+    // embeddings FileScan and the join
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(plan.substring(joinIdx).contains("FileScan parquet"),
+      s"corpus scan should feed the broadcast join directly:\n$plan")
+  }
+
   test("range join broadcasts the band dim (no shuffle of the fact side)") {
     val plan = planOf(RelationalQueries.qRangeJoin(spark, dir))
     assert(plan.contains("BroadcastNestedLoopJoin"), s"band dim not broadcast:\n$plan")
