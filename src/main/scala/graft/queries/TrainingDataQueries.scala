@@ -544,6 +544,34 @@ object TrainingDataQueries {
       )
       .orderBy(col("doc_id"))
 
+  /** C4/Gopher-style corpus quality filter (Raffel et al. 2020 §2.2 /
+    * Rae et al. 2021 appendix A-ish rule families, re-expressed over this
+    * corpus's scale): per-doc signals + keep/drop with the FIRST failing
+    * rule as the reason. Pure per-row SQL functions — no shuffle, fully
+    * codegen'd, linear at 10^12 docs — and every signal/rule is
+    * reproduced by the DuckDB oracle.
+    * Rules: word count in [20, 100000]; mean word length in [3, 12];
+    * symbol ratio < 0.10; word-repetition (1 − distinct/total) ≤ 0.60. */
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val d = docs(spark, dir).select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(words), 4).as("mean_word_len_r"),
+      round(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
+        greatest(length(col("text")), lit(1)), 4).as("symbol_ratio_r"),
+      round(lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 4).as("word_rep_r"),
+    )
+    d.withColumn("drop_reason",
+        when(col("n_words") < 20 || col("n_words") > 100000, "word_count")
+          .when(col("mean_word_len_r") < 3.0 || col("mean_word_len_r") > 12.0, "mean_word_len")
+          .when(col("symbol_ratio_r") >= 0.10, "symbol_ratio")
+          .when(col("word_rep_r") > 0.60, "repetition")
+          .otherwise(null))
+      .withColumn("keep", col("drop_reason").isNull)
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID: stopword/charset heuristic profile scoring, reproduced by
     * the DuckDB oracle (first-in-order argmax; 'und' below 0.01). Output is
     * the (label, predicted) confusion matrix. */
@@ -783,6 +811,33 @@ object TrainingDataQueries {
         |       bit_xor(DISTINCT mh) AS xor_fp
         |FROM winmin GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // C4/Gopher-style filter reproduced per doc (same split/regex
+    // semantics as q_token_count, same first-failing-rule CASE chain).
+    "q_corpus_filter" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
+        |          / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len_r,
+        |    round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
+        |          / greatest(length(text), 1), 4) AS symbol_ratio_r,
+        |    round(1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+        |          / len(string_split_regex(trim(text), '\s+')), 4) AS word_rep_r
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_words, mean_word_len_r, symbol_ratio_r, word_rep_r,
+        |  CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
+        |       WHEN mean_word_len_r < 3.0 OR mean_word_len_r > 12.0 THEN 'mean_word_len'
+        |       WHEN symbol_ratio_r >= 0.10 THEN 'symbol_ratio'
+        |       WHEN word_rep_r > 0.60 THEN 'repetition'
+        |       ELSE NULL END AS drop_reason,
+        |  (CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
+        |        WHEN mean_word_len_r < 3.0 OR mean_word_len_r > 12.0 THEN 'mean_word_len'
+        |        WHEN symbol_ratio_r >= 0.10 THEN 'symbol_ratio'
+        |        WHEN word_rep_r > 0.60 THEN 'repetition'
+        |        ELSE NULL END) IS NULL AS keep
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
     // LangId.detect reproduced per doc: stopword-hit rate over the first
     // 500 letter-words + special-char rate * 10; first-in-order argmax
     // (en, de, fr, es); 'und' below 0.01.
@@ -835,6 +890,7 @@ object TrainingDataQueries {
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_corpus_filter" -> (qCorpusFilter _),
   )
 }
 

@@ -54,6 +54,19 @@ object StreamingExtract {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Streaming exact dedup: first crawl of each content hash wins, later
+    * re-crawls are dropped inside the stream (the continuous analog of
+    * qDedupExact). State = one md5 per seen content; the watermark bounds
+    * it — state for hashes older than the watermark horizon is evicted, so
+    * at 100 TB the dedup state holds only the horizon's hashes (16 bytes ×
+    * arrivals/horizon), not the corpus. Exactly the Structured Streaming
+    * `dropDuplicates`-with-watermark recipe, keyed on a derived column. */
+  def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicates("text_md5")
+
   /** Watermarked sliding-window stats over a streaming events source —
     * the continuous analog of qAggStats (O5). */
   def eventsWindowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0 && rows(0).getLong(3) == 10000L)
   }
 
+  test("streaming exact dedup: re-crawls dropped within and across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.dedupStream(mem.toDF())
+      .select("url", "text_md5")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    val p0 = CorpusGen.pageFor(0L)
+    val p1 = CorpusGen.pageFor(1L)
+    def later(p: graft.model.Page, ms: Long) =
+      p.copy(warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + ms))
+    mem.addData(p0, p1, later(p0, 1000)) // same-batch duplicate
+    q.processAllAvailable()
+    mem.addData(later(p0, 2000), CorpusGen.pageFor(2L)) // cross-batch duplicate
+    q.processAllAvailable()
+    val rows = spark.sql("select url from dedup_out").collect()
+    q.stop()
+    assert(rows.length == 3, s"expected p0 once + p1 + p2, got ${rows.mkString(",")}")
+    assert(rows.map(_.getString(0)).distinct.length == 3)
+  }
+
   test("watermarked windowed aggregation over a rate-like memory stream") {
     val s = spark
     import s.implicits._
