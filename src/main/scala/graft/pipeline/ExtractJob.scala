@@ -53,6 +53,18 @@ object ExtractJob {
       options: ConversionOptions = ConversionOptions(),
       dedup: DedupStrategy = WindowDedup,
       timeoutMs: Long = ExtractKernel.DefaultTimeoutMs,
+      /** Stage the deduped, bucket-partitioned input to parquet before the
+        * wave loop (skipped when a single wave covers everything). Without
+        * staging, every wave re-scans the FULL pages input — `_bucket` is
+        * computed, so nothing prunes — and WindowDedup re-shuffles raw
+        * payloads once per wave: at 100 TB that is `numWaves` full-table
+        * scans+shuffles. With staging the dedup shuffle happens once, and
+        * each wave's `.where(_bucket isin ...)` becomes a partition-pruned
+        * read of ~1/numWaves of the data. Cost: one full write of the
+        * (deduped) input under `root/_stage/runId` — amortizes immediately
+        * at 2+ waves; a resumed run reuses a completed staging (_SUCCESS),
+        * and the dir is deleted after the final snapshot commit. */
+      stageInput: Boolean = true,
   )
 
   final case class Report(snapshotId: Long, wavesRun: Int, bucketsSkipped: Int, bucketsRun: Int)
@@ -79,15 +91,24 @@ object ExtractJob {
     val pending = (0 until cfg.numBuckets).filterNot(done.contains)
     val waves = pending.grouped(cfg.bucketsPerWave).toVector
 
+    // stage once, prune per wave (see Config.stageInput)
+    val stageDir = s"${cfg.root}/_stage/${cfg.runId}"
+    val bucketed: DataFrame =
+      if (cfg.stageInput && waves.length > 1) {
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS")))
+          withBucket.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stageDir)
+        spark.read.parquet(stageDir) // _bucket is a partition column -> pruned reads
+      } else withBucket
+
     var waveIdx = 0
     waves.foreach { waveBuckets =>
       val waveId = waveBuckets.min // stable wave id = smallest bucket in it
       val dataDir = s"${cfg.root}/data/${cfg.runId}/wave-$waveId"
       val lineageDir = s"${cfg.root}/lineage/${cfg.runId}/wave-$waveId"
 
-      val subset = withBucket
+      val subset = bucketed
         .where($"_bucket".isin(waveBuckets: _*))
-        .drop("_bucket")
+        .select($"url", $"warc_ts", $"html", $"text", $"lang")
         .as[Page]
       // NO payload shuffle before the kernel: extraction shrinks data, so
       // heavy-tail skew is handled by fine input splits + dynamic task
@@ -161,6 +182,14 @@ object ExtractJob {
     val dataDirs = markers.map(m => String.valueOf(m("data_dir"))).distinct
     val lineageDirs = markers.map(m => String.valueOf(m("lineage_dir"))).distinct
     val snapId = table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
+
+    // staging is scratch: drop it once the snapshot is durable
+    val stagePath = java.nio.file.Paths.get(stageDir)
+    if (java.nio.file.Files.isDirectory(stagePath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
 
     Report(snapId, waves.length, done.size, pending.size)
   }

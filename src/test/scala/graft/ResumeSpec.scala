@@ -42,6 +42,9 @@ class ResumeSpec extends AnyFunSuite {
     assert(sums.getLong(0) == distinctUrls && sums.getLong(1) == distinctUrls)
     // every bucket with rows appears exactly once
     assert(lineage.groupBy("_bucket").count().where("count > 1").count() == 0)
+    // multi-wave run staged the bucketed input; scratch removed post-snapshot
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_stage", "run1")),
+      "staging dir must be deleted after the snapshot commit")
   }
 
   test("killed after first wave -> resume skips committed buckets, no duplicate rows") {
