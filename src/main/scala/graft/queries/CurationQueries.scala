@@ -1,0 +1,369 @@
+package graft.queries
+
+import graft.core.DuckHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a production LLM training-data pipeline runs
+  * after extraction and before tokenization: PII redaction, benchmark
+  * decontamination, deterministic stratified sampling, substring-window
+  * dedup, incremental (new-vs-seen) dedup, and sequence packing. All six
+  * are DuckDB-oracled hard checks (see [[TrainingDataQueries]] for the
+  * cross-engine hash/quantization conventions).
+  *
+  * Scale design (100 TB shapes):
+  *  - pii / packing / sampling are pure per-row or per-partition-window
+  *    SQL — map-only (packing windows partition by `source`, i.e. shard,
+  *    so no global ordering bottleneck);
+  *  - decontamination broadcasts the eval-set gram hashes (eval sets are
+  *    MBs even for large benchmark suites) — the 100 TB side is never
+  *    shuffled, only gram hashes leave the scan stage;
+  *  - substring dedup shuffles 16-byte window digests, not text;
+  *  - incremental dedup is an equi-join against the seen-corpus digest
+  *    table (at scale: bucketed by digest so the join is shuffle-free on
+  *    the new-batch side only, or a bloom pre-filter when the seen side
+  *    is far larger than the batch).
+  */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------------ PII redact
+
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhonePat = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction (emails / IPv4 / phone numbers → typed placeholder
+    * tokens) with per-doc match counts and a digest of the redacted text.
+    * The corpus text itself contains no PII, so the query redacts a
+    * deterministically AUGMENTED column (text + a synthetic contact line
+    * derived from doc_id — built identically by the DuckDB oracle), which
+    * makes every pattern actually fire. Counts are taken stepwise on the
+    * partially-redacted text (email → ip → phone) so the two engines see
+    * the same match sets. Pure per-row regex — map-only at any scale. */
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(
+      col("text"),
+      lit(" Contact: user"), col("doc_id").cast("string"), lit("@ex"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com from 10."), (col("doc_id") % 256).cast("string"), lit(".0."), (col("doc_id") % 250).cast("string"),
+      lit(" call 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    docs(spark, dir)
+      .select(col("doc_id"), aug.as("aug"))
+      .withColumn("n_email", regexp_count(col("aug"), lit(EmailPat)))
+      .withColumn("t1", regexp_replace(col("aug"), EmailPat, "[EMAIL]"))
+      .withColumn("n_ip", regexp_count(col("t1"), lit(Ipv4Pat)))
+      .withColumn("t2", regexp_replace(col("t1"), Ipv4Pat, "[IP]"))
+      .withColumn("n_phone", regexp_count(col("t2"), lit(PhonePat)))
+      .withColumn("redacted_md5", md5(regexp_replace(col("t2"), PhonePat, "[PHONE]").cast("binary")))
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"), col("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------- decontamination
+
+  /** Distinct md5-derived hashes of the lowercased word 13-grams of a
+    * text (GPT-3-style decontamination granularity, Brown et al. 2020
+    * appendix C). DuckDB-reproducible via md5_number_lower on the
+    * space-joined gram. */
+  def gramHashes(text: String, n: Int = 13): Array[Long] = {
+    val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) Array.empty
+    else {
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i + n <= words.length) {
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        out(i) = DuckHash.md5NumberLower(sb.toString)
+        i += 1
+      }
+      val set = new java.util.TreeSet[java.lang.Long]()
+      out.foreach(set.add(_))
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var k = 0
+      while (it.hasNext) { arr(k) = it.next(); k += 1 }
+      arr
+    }
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 13-gram with the held-out eval set (docs with doc_id % 10 == 0 stand
+    * in for the benchmark suite). The eval gram-hash set is broadcast —
+    * at 100 TB the train side emits only (doc_id, gram_hash) pairs from
+    * the scan and the broadcast hash-semi-join prunes them map-side; no
+    * train-side text ever shuffles. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val gramsUdf = udf((text: String) => gramHashes(text))
+    val d = docs(spark, dir).select(col("doc_id"), gramsUdf(col("text")).as("gs"))
+    val isEval = col("doc_id") % 10 === 0
+    val evalGrams = d.where(isEval).select(explode(col("gs")).as("h")).distinct()
+    val trainGrams = d.where(!isEval).select(col("doc_id"), explode(col("gs")).as("h"))
+    val hits = trainGrams
+      .join(broadcast(evalGrams), "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dirty")) // gram hashes are pre-distinct per doc
+    d.where(!isEval)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dirty"), lit(0L)).as("n_dirty"),
+        (coalesce(col("n_dirty"), lit(0L)) > 0).as("contaminated"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------- stratified sampling
+
+  /** Deterministic hash-based stratified sampling by `source` (DataComp-
+    * style domain mixing): each source tier gets a target rate and a doc
+    * is kept iff md5(doc_id) mod 100 < rate — reproducible across
+    * engines, stable under reruns/resumes (no RNG state), and map-only at
+    * any scale. Output is the per-source audit: totals, sampled count,
+    * and an exact digest (sum/min/max) of the sampled id set. */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val md5ModUdf = udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), 100L))
+    val tier = substring(col("source"), 4, 10).cast("int")
+    val rate = when(tier < 5, 10).when(tier < 10, 25).when(tier < 15, 50).otherwise(80)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), tier.as("tier"), rate.as("rate"),
+        (md5ModUdf(col("doc_id")) < rate).as("sampled"))
+      .groupBy(col("source"), col("tier"), col("rate"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("sampled"), col("doc_id")).otherwise(0L)).as("sampled_id_sum"),
+        min(when(col("sampled"), col("doc_id"))).as("sampled_id_min"),
+        max(when(col("sampled"), col("doc_id"))).as("sampled_id_max"),
+      )
+      .orderBy(col("source"))
+  }
+
+  // ---------------------------------------------------- substring dedup
+
+  /** Duplicated-substring detection (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", approximated at window
+    * granularity): 64-char windows at stride 16, md5 digests, a window is
+    * duplicated iff its digest occurs ≥ 2 times corpus-wide (intra-doc
+    * repeats count — self-repetition is also duplicated text). Only the
+    * 16-byte digests shuffle; the suffix-array exactness of the paper is
+    * traded for a two-pass hash plan that runs at 10^12 docs. */
+  def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // transform's lambda needs the loop position — expr() is the clearest
+    // way to bind it; everything stays builtin/codegen (no UDF)
+    val wins = d
+      .where(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    val per = wins
+      .join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------- incremental dedup
+
+  /** Incremental (new-batch-vs-seen-corpus) dedup at window granularity:
+    * documents with doc_id < 250 stand in for the already-ingested
+    * corpus, the rest for the incoming batch; a batch doc is a duplicate
+    * iff it shares any 64-char/stride-16 window digest with the seen set
+    * (whole-content digests find nothing on a near-dup corpus — window
+    * digests catch the aligned shared prefixes/blocks that actually
+    * occur), and the earliest seen holder of any shared window is
+    * reported (−1 when new). At scale the seen side is a digest-only
+    * table bucketed by digest (join co-located, no seen-side shuffle) or
+    * fronted by a bloom filter when seen ≫ batch. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val wins = d
+      .where(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+    val seen = wins.where(col("doc_id") < 250)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val hits = wins.where(col("doc_id") >= 250)
+      .join(seen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("keeper")).as("seen_keeper"))
+    d.where(col("doc_id") >= 250)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("seen_keeper"), lit(-1L)).as("seen_keeper"),
+        col("seen_keeper").isNotNull.as("dup_of_seen"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------- sequence packing
+
+  /** Concat-and-cut sequence packing (the standard LM pretraining layout:
+    * documents are concatenated in a deterministic order and cut into
+    * fixed-size token context windows; 512 here so the synthetic corpus
+    * actually exercises cut-straddling docs). Packing runs PER SOURCE (= shard)
+    * so the running-sum window partitions by `source` — parallel across
+    * shards, no global ordering bottleneck — exactly how a 100 TB corpus
+    * is packed (per input shard, never globally). Emits each document's
+    * first/last bin and whether it spans a cut. */
+  def qPackSequences(spark: SparkSession, dir: String, binTokens: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"), col("source"), col("n_tok"),
+        floor((col("cum") - col("n_tok")) / binTokens).as("bin_first"),
+        floor((col("cum") - 1) / binTokens).as("bin_last"),
+      )
+      .withColumn("spans_cut", col("bin_last") > col("bin_first"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ----------------------------------------------------------- oracle SQL
+
+  val oracles: Map[String, String] = Map(
+    "q_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' Contact: user' || doc_id || '@ex' || (doc_id % 7)
+        |              || '.example.com from 10.' || (doc_id % 256) || '.0.' || (doc_id % 250)
+        |              || ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS a
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, a,
+        |         len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |         regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM aug
+        |), s2 AS (
+        |  SELECT doc_id, n_email,
+        |         len(regexp_extract_all(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        |         regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id, n_email, n_ip,
+        |       len(regexp_extract_all(t2, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |       md5(regexp_replace(t2, '\b\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g')) AS redacted_md5
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      """WITH wl AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(w) >= 13
+        |              THEN list_distinct(list_transform(generate_series(1, len(w) - 12),
+        |                                                i -> md5_number_lower(array_to_string(w[i:i+12], ' '))))
+        |              ELSE [] END AS gs
+        |  FROM wl
+        |), ev AS (
+        |  SELECT DISTINCT unnest(gs) AS h FROM g WHERE doc_id % 10 = 0
+        |), tr AS (
+        |  SELECT doc_id, unnest(gs) AS h FROM g WHERE doc_id % 10 <> 0
+        |), hit AS (
+        |  SELECT doc_id, count(*) AS n_dirty FROM tr JOIN ev USING (h) GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_dirty, 0)::BIGINT AS n_dirty,
+        |       coalesce(n_dirty, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hit USING (doc_id)
+        |WHERE d.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, substr(source, 4)::INT AS tier,
+        |         CASE WHEN substr(source, 4)::INT < 5 THEN 10
+        |              WHEN substr(source, 4)::INT < 10 THEN 25
+        |              WHEN substr(source, 4)::INT < 15 THEN 50
+        |              ELSE 80 END AS rate,
+        |         md5_number_lower(doc_id::VARCHAR) % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT source, tier, rate, count(*) AS n_total,
+        |       sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+        |       sum(CASE WHEN bucket < rate THEN doc_id ELSE 0 END)::BIGINT AS sampled_id_sum,
+        |       min(CASE WHEN bucket < rate THEN doc_id END) AS sampled_id_min,
+        |       max(CASE WHEN bucket < rate THEN doc_id END) AS sampled_id_max
+        |FROM base GROUP BY 1, 2, 3 ORDER BY source""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id, md5(substr(text, p, 64)) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS p
+        |        FROM documents WHERE length(text) >= 64)
+        |), c AS (
+        |  SELECT h, count(*) AS n FROM w GROUP BY 1
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_windows,
+        |         sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+        |  FROM w JOIN c USING (h) GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+        |       coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH w AS (
+        |  SELECT doc_id, md5(substr(text, p, 64)) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS p
+        |        FROM documents WHERE length(text) >= 64)
+        |), seenw AS (
+        |  SELECT h, min(doc_id) AS keeper FROM w WHERE doc_id < 250 GROUP BY 1
+        |), hits AS (
+        |  SELECT w.doc_id, count(*) AS n_shared, min(keeper) AS seen_keeper
+        |  FROM w JOIN seenw USING (h) WHERE w.doc_id >= 250 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_shared, 0)::BIGINT AS n_shared,
+        |       coalesce(seen_keeper, -1) AS seen_keeper,
+        |       seen_keeper IS NOT NULL AS dup_of_seen
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok,
+        |       (cum - n_tok) // 512 AS bin_first,
+        |       (cum - 1) // 512 AS bin_last,
+        |       (cum - 1) // 512 > (cum - n_tok) // 512 AS spans_cut
+        |FROM c ORDER BY doc_id""".stripMargin,
+  )
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_dedup_substring" -> (qDedupSubstring _),
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),
+  )
+}

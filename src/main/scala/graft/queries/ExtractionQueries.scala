@@ -72,9 +72,11 @@ object ExtractionQueries {
       )
       .orderBy(col("document_type"), col("status"))
 
-  /** Chunk explode + stats (T8/T9 surface). */
+  /** Chunk explode + stats (T8/T9 surface). Shares the Text+embeddings
+    * extraction with [[xExtractEmbeddings]] — embeddings don't alter chunk
+    * boundaries, so this saves a third full kernel pass per bench run. */
   def xExtractChunks(spark: SparkSession, dir: String): DataFrame =
-    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text))
+    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
       .select(col("url"), explode(col("chunks")).as("chunk"))
       .select(col("url"), col("chunk.chunk_index"), col("chunk.chunk_size"))
       .groupBy()

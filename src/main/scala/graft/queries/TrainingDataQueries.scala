@@ -443,34 +443,86 @@ object TrainingDataQueries {
     * Sampling = hash-mod filter over vec_id (no global sort; the count()
     * sizing the modulus is parquet-metadata-only), and the probe vector
     * rides the same single collect job. */
-  def qAnnIvf(spark: SparkSession, dir: String, k: Int = 10, nList: Int = 16, nProbe: Int = 2): DataFrame = {
+  /** IVF ANN: inverted lists from a coarse quantizer, probe the `nProbe`
+    * nearest lists. The default quantizer is a hash-selected MEDOID set
+    * (vectors whose md5(vec_id) ≡ 0 mod 31, ≈ n/31 lists) with argmax-
+    * quantized-cosine assignment (ties → smaller medoid id) — fully
+    * DuckDB-reproducible, so the oracle re-runs the ENTIRE pipeline:
+    * assignment, probe-list selection, candidate scan, top-k.
+    * `useKmeans = true` swaps in the classical trained quantizer
+    * ([[KMeans]], hash-mod sample, fixed Lloyd iterations) — identical
+    * plan shape, better list balance, not cross-engine reproducible
+    * (covered rows-only by AnnIvfSpec).
+    * Scale: the quantizer is driver-collected (≤ thousands of centroids)
+    * and broadcast; assignment is map-only over the scan; the probe reads
+    * ~nProbe/nLists of the corpus. */
+  def qAnnIvf(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2,
+      useKmeans: Boolean = false, nList: Int = 16): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    val maxSample = 4096L
-    val total = e.count() // parquet count-star: row-group metadata, no scan
-    val mod = math.max(1L, total / maxSample)
-    // ONE job fetches the training sample AND the probe vector
-    val fetched = e
-      .where(col("vec_id") === 0 || pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-      .collect()
-    val probeVec = fetched.find(_.getLong(0) == 0L)
-      .getOrElse(sys.error("probe vec_id=0 missing")).getSeq[Float](1).toArray
-    val sample = fetched.sortBy(_.getLong(0)).take(maxSample.toInt)
-      .map(_.getSeq[Float](1).toArray)
-    val centroids = KMeans.fit(sample, nList, iters = 8)
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    val assignUdf = udf((v: Seq[Float]) => KMeans.nearest(bc.value, v))
-    val assigned = e.withColumn("list_id", assignUdf(col("embedding")))
-
-    val probeLists = KMeans.nearestN(centroids, scala.collection.immutable.ArraySeq.unsafeWrapArray(probeVec), nProbe)
-
-    assigned
-      .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
-      .select(col("vec_id"),
-        round(cosineQUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
-      .orderBy(col("cos_r").desc, col("vec_id"))
-      .limit(k)
-      .orderBy(col("vec_id"))
+    if (useKmeans) {
+      val maxSample = 4096L
+      val total = e.count() // parquet count-star: row-group metadata, no scan
+      val mod = math.max(1L, total / maxSample)
+      // ONE job fetches the training sample AND the probe vector
+      val fetched = e
+        .where(col("vec_id") === 0 || pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+        .collect()
+      val probeVec = fetched.find(_.getLong(0) == 0L)
+        .getOrElse(sys.error("probe vec_id=0 missing")).getSeq[Float](1).toArray
+      val sample = fetched.sortBy(_.getLong(0)).take(maxSample.toInt)
+        .map(_.getSeq[Float](1).toArray)
+      val centroids = KMeans.fit(sample, nList, iters = 8)
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf((v: Seq[Float]) => KMeans.nearest(bc.value, v))
+      val probeLists = KMeans.nearestN(centroids, scala.collection.immutable.ArraySeq.unsafeWrapArray(probeVec), nProbe)
+      e.withColumn("list_id", assignUdf(col("embedding")))
+        .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
+        .select(col("vec_id"),
+          round(cosineQUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(k)
+        .orderBy(col("vec_id"))
+    } else {
+      def isMedoidId(id: Long): Boolean =
+        java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), 31L) == 0L
+      // ONE job fetches the medoid set AND the probe vector
+      val medoidUdf = udf((id: Long) => isMedoidId(id))
+      val fetched = e.where(col("vec_id") === 0 || medoidUdf(col("vec_id"))).collect()
+      val probeVec = fetched.find(_.getLong(0) == 0L)
+        .getOrElse(sys.error("probe vec_id=0 missing")).getSeq[Float](1).toArray
+      val medoids: Array[(Long, Array[Float])] = fetched
+        .filter(r => isMedoidId(r.getLong(0)))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      require(medoids.nonEmpty, "no medoid centroids selected")
+      val bc = spark.sparkContext.broadcast(medoids)
+      // argmax quantized cosine, ties -> smallest medoid id (ascending
+      // iteration + strict > keeps the first maximum)
+      val assignUdf = udf((v: Seq[Float]) => {
+        val ms = bc.value
+        var best = ms(0)._1
+        var bestCos = Double.NegativeInfinity
+        var i = 0
+        while (i < ms.length) {
+          val c = cosineQ(scala.collection.immutable.ArraySeq.unsafeWrapArray(ms(i)._2), v)
+          if (c > bestCos) { bestCos = c; best = ms(i)._1 }
+          i += 1
+        }
+        best
+      })
+      val probeSeq = scala.collection.immutable.ArraySeq.unsafeWrapArray(probeVec)
+      val probeLists = medoids
+        .map { case (id, m) => (id, cosineQ(scala.collection.immutable.ArraySeq.unsafeWrapArray(m), probeSeq)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(nProbe).map(_._1)
+      e.withColumn("list_id", assignUdf(col("embedding")))
+        .where(col("vec_id") =!= 0 && col("list_id").isin(probeLists: _*))
+        .select(col("vec_id"),
+          round(cosineQUdf(col("embedding"), typedLit(probeVec.toSeq)), 4).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+        .limit(k)
+        .orderBy(col("vec_id"))
+    }
   }
 
   /** Deterministic random-hyperplane sign sketch, DuckDB-reproducible:
@@ -785,6 +837,38 @@ object TrainingDataQueries {
          |  FROM qn e JOIN sk es USING (vec_id) CROSS JOIN probe p
          |  WHERE e.vec_id <> 0
          |    AND bit_count(xor(es.sketch::UBIGINT, p.sketch::UBIGINT)) <= 1
+         |  ORDER BY cos_r DESC, e.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
+    // Full reproduction of the medoid-quantizer IVF pipeline: hash-
+    // selected medoid centroids, argmax-quantized-cosine assignment
+    // (ties -> smaller medoid id), nProbe=2 probe lists, exact quantized-
+    // cosine top-10 over the probed lists.
+    "q_ann_ivf" ->
+      s"""WITH $QvCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM qn
+         |  WHERE md5_number_lower(vec_id::VARCHAR) % 31 = 0
+         |), asg AS (
+         |  SELECT vec_id, c_id,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, c_id) AS rn
+         |  FROM (SELECT e.vec_id, ct.c_id,
+         |               ${cosQSql("e.q", "e.n2", "ct.cq", "ct.cn2")} AS c
+         |        FROM qn e CROSS JOIN cents ct)
+         |), lists AS (
+         |  SELECT vec_id, c_id AS list_id FROM asg WHERE rn = 1
+         |), plists AS (
+         |  SELECT list_id FROM (
+         |    SELECT c_id AS list_id, row_number() OVER (ORDER BY c DESC, c_id) AS rn
+         |    FROM (SELECT ct.c_id, ${cosQSql("p0.q", "p0.n2", "ct.cq", "ct.cn2")} AS c
+         |          FROM cents ct CROSS JOIN (SELECT q, n2 FROM qn WHERE vec_id = 0) p0)
+         |  ) WHERE rn <= 2
+         |), probe AS (SELECT q, n2 FROM qn WHERE vec_id = 0)
+         |SELECT vec_id, cos_r FROM (
+         |  SELECT e.vec_id,
+         |         round(${cosQSql("e.q", "e.n2", "p.q", "p.n2")}, 4) AS cos_r
+         |  FROM qn e JOIN lists l USING (vec_id) CROSS JOIN probe p
+         |  WHERE e.vec_id <> 0 AND l.list_id IN (SELECT list_id FROM plists)
          |  ORDER BY cos_r DESC, e.vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
 

@@ -1,0 +1,136 @@
+package graft
+
+import graft.queries.CurationQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-curation operators (PII redaction, decontamination, stratified
+  * sampling, substring dedup, incremental dedup, sequence packing) — unit
+  * behavior on crafted inputs plus shape/invariant checks on the sf0.001
+  * corpus. Cross-engine equality with DuckDB is covered by the driver's
+  * oracle gate (all six have oracleSql entries). */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------- PII redaction
+
+  test("pii: crafted strings with emails/ips/phones are fully redacted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.org thanks"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 are down, call 415-555-0100"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.co and c@d.io on 1.2.3.4"),
+    ).toDF("doc_id", "text")
+    // run the same stepwise chain the query uses, against raw text
+    val out = df
+      .withColumn("n_email", regexp_count(col("text"), lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")))
+      .withColumn("t1", regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"))
+      .withColumn("n_ip", regexp_count(col("t1"), lit("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")))
+      .withColumn("t2", regexp_replace(col("t1"), "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "[IP]"))
+      .withColumn("n_phone", regexp_count(col("t2"), lit("\\b\\d{3}-\\d{3}-\\d{4}\\b")))
+      .withColumn("red", regexp_replace(col("t2"), "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"))
+      .select("doc_id", "n_email", "n_ip", "n_phone", "red")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    assert(out(1L) == ((1, 0, 0, "mail me at [EMAIL] thanks")))
+    assert(out(2L) == ((0, 2, 1, "server [IP] and [IP] are down, call [PHONE]")))
+    assert(out(3L) == ((0, 0, 0, "no pii here at all")))
+    assert(out(4L) == ((2, 1, 0, "[EMAIL] and [EMAIL] on [IP]")))
+  }
+
+  test("pii: corpus query fires every synthetic pattern once per doc") {
+    val rows = CurationQueries.qPiiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the augmentation appends exactly one email, one ip, one phone per doc
+    assert(rows.forall(r => r.getInt(1) >= 1 && r.getInt(2) >= 1 && r.getInt(3) >= 1))
+  }
+
+  // -------------------------------------------------------- decontamination
+
+  test("decontaminate: gram hashes are distinct, empty below 13 words") {
+    assert(CurationQueries.gramHashes("one two three").isEmpty)
+    val t = "a b c d e f g h i j k l m n" // 14 words -> 2 grams
+    val g = CurationQueries.gramHashes(t)
+    assert(g.length == 2 && g.distinct.length == 2)
+    // repeated text -> same grams, deduped
+    val rep = (t + " " + t).trim
+    assert(CurationQueries.gramHashes(rep).length > 2)
+  }
+
+  test("decontaminate: corpus output covers all train docs, flags some") {
+    val rows = CurationQueries.qDecontaminate(spark, sf).collect()
+    assert(rows.forall(_.getLong(0) % 10 != 0)) // eval docs excluded
+    assert(rows.forall(r => r.getLong(1) >= 0))
+    // contaminated == n_dirty > 0
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(1) > 0)))
+    // near-dup pairs crossing the eval/train split exist in the corpus
+    assert(rows.exists(_.getBoolean(2)))
+  }
+
+  // ---------------------------------------------------- stratified sampling
+
+  test("sample: per-source rates are honored within hash tolerance") {
+    val rows = CurationQueries.qSampleStratified(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rate, nTotal, nSampled) = (r.getInt(2), r.getLong(3), r.getLong(4))
+      assert(nSampled <= nTotal)
+      // md5 mod 100 is uniform; exact equality is the oracle's job, here
+      // only sanity: sampled fraction within [0, 1] and 80% tier > 10% tier
+      assert(nSampled >= 0 && rate >= 10 && rate <= 80)
+    }
+    val bySrc = rows.map(r => r.getString(0) -> (r.getLong(4).toDouble / r.getLong(3))).toMap
+    if (bySrc.contains("src0") && bySrc.contains("src19"))
+      assert(bySrc("src19") > bySrc("src0"))
+  }
+
+  // ------------------------------------------------------- substring dedup
+
+  test("substring dedup: exact duplicate docs share all windows") {
+    val rows = CurationQueries.qDedupSubstring(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"dup windows > windows for ${r.getLong(0)}")
+    }
+    // the corpus has near/exact dup pairs -> some doc must show dup windows
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  // ----------------------------------------------------- incremental dedup
+
+  test("incremental dedup: keeper from seen half, -1 when new") {
+    val rows = CurationQueries.qDedupIncremental(spark, sf).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) >= 250))
+    rows.foreach { r =>
+      val (nShared, keeper, dup) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(dup == (keeper >= 0))
+      assert(dup == (nShared > 0))
+      if (dup) assert(keeper < 250)
+    }
+    // the corpus has near-dup pairs crossing the seen/batch split
+    assert(rows.exists(_.getBoolean(3)))
+  }
+
+  // ------------------------------------------------------ sequence packing
+
+  test("packing: bins advance monotonically per source, spans_cut consistent") {
+    val rows = CurationQueries.qPackSequences(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(1))
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(0))
+      var cum = 0L
+      sorted.foreach { r =>
+        val (nTok, first, last) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(first <= last)
+        assert(r.getBoolean(5) == (last > first))
+        // bins match the running token count exactly (concat-and-cut)
+        assert(first == cum / 512)
+        cum += nTok
+        assert(last == (cum - 1) / 512)
+      }
+    }
+  }
+}

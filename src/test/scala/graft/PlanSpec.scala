@@ -85,6 +85,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("decontamination: eval gram set broadcast, train side never shuffles text") {
+    val plan = planOf(graft.queries.CurationQueries.qDecontaminate(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // nothing after the scan carries the text column (only doc_id + gram hashes)
+    val postScan = plan.linesIterator.filterNot(_.contains("Scan parquet")).mkString("\n")
+    assert(!postScan.contains("Exchange hashpartitioning(text"), "text must not shuffle")
+  }
+
+  test("substring/incremental dedup: digest-only equi-joins") {
+    for (df <- Seq(graft.queries.CurationQueries.qDedupSubstring(spark, dir),
+                   graft.queries.CurationQueries.qDedupIncremental(spark, dir))) {
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"non-equi join:\n$plan")
+    }
+  }
+
+  test("sequence packing: window partitions by source (no single global window)") {
+    val plan = planOf(graft.queries.CurationQueries.qPackSequences(spark, dir))
+    assert(plan.contains("hashpartitioning(source"), s"window not partitioned by source:\n$plan")
+  }
+
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
     df.collect() // finalize THIS df's AQE plan (count() would re-plan)
