@@ -67,6 +67,57 @@ object StreamingExtract {
       .withWatermark("warc_ts", watermark)
       .dropDuplicates("text_md5")
 
+  final case class NearDupHit(url: String, dup_of: String, hamming: Int)
+  final case class SeenDoc(url: String, sim: Long, tsMillis: Long)
+  final case class BucketState(entries: List[SeenDoc])
+
+  /** Streaming NEAR-dup detection — the continuous analog of
+    * qDedupSimhash, with the same Manku C(6,3) block-combination scheme
+    * (recall 1.0 at hamming ≤ `maxHam` by pigeonhole). Each page's 64-bit
+    * simhash is exploded into its 20 block keys; state lives PER BLOCK
+    * KEY and holds only (url, simhash, ts) triples inside the event-time
+    * horizon — at 100 TB that is the horizon's arrivals × 20 × ~40 bytes,
+    * never the corpus, and the hot-key population equals the batch
+    * query's bucket population (sub-quadratic by the same blocking math).
+    * Emits one hit per (bucket, match); a page matching an earlier page
+    * in several buckets yields duplicate hits — consumers dedupe on
+    * (url, dup_of) exactly like the batch query's dropDuplicates.
+    */
+  def nearDedupStream(pages: DataFrame, horizonMs: Long = 3600000L, maxHam: Int = 3)(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[NearDupHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val simUdf = udf((text: String) => graft.queries.TrainingDataQueries.simhash64(text))
+    val keysUdf = udf((sim: Long) => graft.queries.TrainingDataQueries.simhashBlockKeys(sim))
+    val keyed = pages
+      .withColumn("sim", simUdf(col("text")))
+      .select(col("url"), col("warc_ts"), col("sim"),
+        explode(keysUdf(col("sim"))).as("block_key"))
+      .as[(String, java.sql.Timestamp, Long, Long)]
+
+    // state per block key: seen (url, sim, tsMillis) within the horizon
+    def fn(key: Long, batch: Iterator[(String, java.sql.Timestamp, Long, Long)],
+           state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      val out = Seq.newBuilder[NearDupHit]
+      sorted.foreach { case (url, ts, sim, _) =>
+        val t = ts.getTime
+        // earliest-seen match wins (entries are kept in arrival order)
+        entries.find(e => e.url != url && java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
+          .foreach(e => out += NearDupHit(url, e.url, java.lang.Long.bitCount(e.sim ^ sim)))
+        entries = entries :+ SeenDoc(url, sim, t)
+      }
+      // evict beyond the event-time horizon (bounded state)
+      val maxTs = entries.map(_.tsMillis).maxOption.getOrElse(0L)
+      entries = entries.filter(_.tsMillis >= maxTs - horizonMs)
+      state.update(BucketState(entries))
+      Iterator.empty ++ out.result()
+    }
+    keyed.groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   /** Watermarked sliding-window stats over a streaming events source —
     * the continuous analog of qAggStats (O5). */
   def eventsWindowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -14,7 +14,9 @@ object PlanDump {
       "q_filter_project", "q1_lineitem_agg", "q_join_stats", "q_asof_join",
       "q_range_join", "q_custdist",
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_emb_cosine",
-      "q_ann_brute_force", "q_ann_lsh", "x_extract_summary")
+      "q_ann_brute_force", "q_ann_lsh", "q_ann_ivf",
+      "q_decontaminate", "q_dedup_substring", "q_pack_sequences",
+      "x_extract_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — explain(formatted) of headline queries (")
       .append(dir).append(")\n\nRegenerate: `sbt \"runMain graft.tools.PlanDump\"`\n")

@@ -86,6 +86,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 3)
   }
 
+  test("streaming near-dup: simhash-close re-crawl flagged across batches, state bounded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.nearDedupStream(mem.toDF())(spark)
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, text: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), Array.emptyByteArray, text, "en")
+    val t0 = "the quick brown fox jumps over the lazy dog " * 20
+    mem.addData(
+      page("u://a", t0, 0),
+      page("u://b", "completely different content about spark physical plans and shuffles " * 15, 1000),
+    )
+    q.processAllAvailable()
+    // near-identical re-crawl (one word changed) arrives in a later batch
+    mem.addData(page("u://a2", t0.replaceFirst("lazy", "sleepy"), 2000))
+    q.processAllAvailable()
+    val hits = spark.sql("select distinct url, dup_of from neardup_out").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(hits.toSet == Set(("u://a2", "u://a")), s"got ${hits.mkString(",")}")
+  }
+
   test("watermarked windowed aggregation over a rate-like memory stream") {
     val s = spark
     import s.implicits._
