@@ -140,7 +140,44 @@ object ExtractionQueries {
       .orderBy(col("url"))
   }
 
+  /** Per-type envelope stats over the same 64 pinned urls as
+    * [[xExtractHashes]] — hard-checks chunking, table extraction, and
+    * page counting driver-visibly (the sha oracle pins content bytes;
+    * this pins the rest of the envelope). Aggregates are invariant
+    * across duplicate-crawl rows (same payload → same envelope), so
+    * dropDuplicates(url) is deterministic for these columns. */
+  def xExtractStats64(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+    results(spark, dir)
+      .where(col("url").isin(pinned: _*))
+      .dropDuplicates("url")
+      .groupBy(col("document_type"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("content"))).cast("long").as("content_chars"),
+        sum(size(col("chunks"))).cast("long").as("n_chunks"),
+        sum(size(col("tables"))).cast("long").as("n_tables"),
+        sum(col("page_count")).cast("long").as("pages"),
+      )
+      .orderBy(col("document_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // Pinned per-type envelope stats over the same 64 urls (chunking /
+    // table-extraction / page-count hard check). Regenerate:
+    // scripts/stats_oracle_gen.py (same audit discipline as goldens).
+    "x_extract_stats64" ->
+      """SELECT * FROM (VALUES
+        |  ('asciidoc', 2, 1975, 6, 3, 2),
+        |  ('docx', 3, 7148, 21, 3, 3),
+        |  ('html', 43, 164709, 447, 81, 43),
+        |  ('image', 2, 0, 0, 0, 2),
+        |  ('md', 3, 2757, 7, 2, 3),
+        |  ('pdf', 6, 6472, 18, 3, 6),
+        |  ('pptx', 2, 1865, 6, 0, 6),
+        |  ('xlsx', 3, 671, 3, 5, 5)
+        |) t(document_type, n_docs, content_chars, n_chunks, n_tables, pages) ORDER BY document_type""".stripMargin,
+
     // Pinned extraction hashes (golden-fixture analog, driver-visible).
     // Regenerate ONLY on deliberate extraction-semantics change:
     // scripts/hash_oracle_gen.py (see its header), eyeball, commit.
@@ -220,6 +257,7 @@ object ExtractionQueries {
     "x_extract_tables" -> (xExtractTables _),
     "x_extract_embeddings" -> (xExtractEmbeddings _),
     "x_extract_hashes" -> (xExtractHashes _),
+    "x_extract_stats64" -> (xExtractStats64 _),
     "x_doc_types" -> (xDocTypes _),
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
   )
