@@ -215,6 +215,40 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-fronted variant of [[qDedupIncremental]] — IDENTICAL output
+    * (same DuckDB oracle), different physical strategy: the seen side is
+    * compacted into a broadcast Bloom filter over window digests
+    * (`df.stat.bloomFilter`), and batch windows are pre-filtered by
+    * `mightContain` before the exact join removes the false positives.
+    * This is the 100 TB shape when seen ≫ batch: the filter is GBs where
+    * the digest table is TBs, the batch-side scan drops ~all non-dup
+    * windows map-side, and the exact join only sees the survivors. */
+  def qDedupIncrBloom(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
+    val d = docs(spark, dir)
+    val wins = d
+      .where(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+    val seenWins = wins.where(col("doc_id") < 250)
+    val bf = seenWins.stat.bloomFilter("h", 200000L, fpp)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bcBf.value.mightContainString(h))
+    val seen = seenWins.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val hits = wins.where(col("doc_id") >= 250)
+      .where(mightContain(col("h"))) // map-side prune; FPs die in the join
+      .join(seen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("keeper")).as("seen_keeper"))
+    d.where(col("doc_id") >= 250)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("seen_keeper"), lit(-1L)).as("seen_keeper"),
+        col("seen_keeper").isNotNull.as("dup_of_seen"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------- sequence packing
 
   /** Concat-and-cut sequence packing (the standard LM pretraining layout:
@@ -323,22 +357,11 @@ object CurationQueries {
         |       coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_incremental" ->
-      """WITH w AS (
-        |  SELECT doc_id, md5(substr(text, p, 64)) AS h
-        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS p
-        |        FROM documents WHERE length(text) >= 64)
-        |), seenw AS (
-        |  SELECT h, min(doc_id) AS keeper FROM w WHERE doc_id < 250 GROUP BY 1
-        |), hits AS (
-        |  SELECT w.doc_id, count(*) AS n_shared, min(keeper) AS seen_keeper
-        |  FROM w JOIN seenw USING (h) WHERE w.doc_id >= 250 GROUP BY 1
-        |)
-        |SELECT d.doc_id, coalesce(n_shared, 0)::BIGINT AS n_shared,
-        |       coalesce(seen_keeper, -1) AS seen_keeper,
-        |       seen_keeper IS NOT NULL AS dup_of_seen
-        |FROM documents d LEFT JOIN hits USING (doc_id)
-        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin,
+    // identical semantics to q_dedup_incremental -> identical oracle (the
+    // bloom filter is a physical pre-filter; false positives are removed
+    // by the exact join, false negatives are impossible)
+    "q_dedup_incr_bloom" -> IncrementalOracle,
+    "q_dedup_incremental" -> IncrementalOracle,
 
     "q_pack_sequences" ->
       """WITH t AS (
@@ -358,6 +381,23 @@ object CurationQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 
+  private lazy val IncrementalOracle: String =
+      """WITH w AS (
+        |  SELECT doc_id, md5(substr(text, p, 64)) AS h
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 63, 16)) AS p
+        |        FROM documents WHERE length(text) >= 64)
+        |), seenw AS (
+        |  SELECT h, min(doc_id) AS keeper FROM w WHERE doc_id < 250 GROUP BY 1
+        |), hits AS (
+        |  SELECT w.doc_id, count(*) AS n_shared, min(keeper) AS seen_keeper
+        |  FROM w JOIN seenw USING (h) WHERE w.doc_id >= 250 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_shared, 0)::BIGINT AS n_shared,
+        |       coalesce(seen_keeper, -1) AS seen_keeper,
+        |       seen_keeper IS NOT NULL AS dup_of_seen
+        |FROM documents d LEFT JOIN hits USING (doc_id)
+        |WHERE d.doc_id >= 250 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pii_redact" -> (qPiiRedact _),
     "q_decontaminate" -> (qDecontaminate _),
@@ -365,5 +405,6 @@ object CurationQueries {
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),
+    "q_dedup_incr_bloom" -> ((s: SparkSession, d: String) => qDedupIncrBloom(s, d)),
   )
 }

@@ -113,6 +113,12 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(3)))
   }
 
+  test("incremental dedup: bloom-fronted variant is result-identical to exact") {
+    val exact = CurationQueries.qDedupIncremental(spark, sf).collect().map(_.toSeq)
+    val bloom = CurationQueries.qDedupIncrBloom(spark, sf).collect().map(_.toSeq)
+    assert(exact.toSeq == bloom.toSeq) // bloom has no false negatives; FPs die in the join
+  }
+
   // ------------------------------------------------------ sequence packing
 
   test("packing: bins advance monotonically per source, spans_cut consistent") {
