@@ -99,19 +99,19 @@ object StreamingExtract {
     def fn(key: Long, batch: Iterator[(String, java.sql.Timestamp, Long, Long)],
            state: GroupState[BucketState]): Iterator[NearDupHit] = {
       val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
-      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      // buffer, not List :+ (quadratic per batch on a hot bucket)
+      val entries = scala.collection.mutable.ArrayBuffer.from(
+        state.getOption.map(_.entries).getOrElse(Nil))
       val out = Seq.newBuilder[NearDupHit]
       sorted.foreach { case (url, ts, sim, _) =>
-        val t = ts.getTime
         // earliest-seen match wins (entries are kept in arrival order)
         entries.find(e => e.url != url && java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
           .foreach(e => out += NearDupHit(url, e.url, java.lang.Long.bitCount(e.sim ^ sim)))
-        entries = entries :+ SeenDoc(url, sim, t)
+        entries += SeenDoc(url, sim, ts.getTime)
       }
       // evict beyond the event-time horizon (bounded state)
-      val maxTs = entries.map(_.tsMillis).maxOption.getOrElse(0L)
-      entries = entries.filter(_.tsMillis >= maxTs - horizonMs)
-      state.update(BucketState(entries))
+      val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max
+      state.update(BucketState(entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList))
       Iterator.empty ++ out.result()
     }
     keyed.groupByKey(_._4)
