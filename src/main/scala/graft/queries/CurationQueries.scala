@@ -249,6 +249,45 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Segment-level repetition removal — the C4 §2.2 "discard repeated
+    * lines" rule re-expressed for this corpus: real crawls split on
+    * newline; the synthetic documents are single-line word salads, so the
+    * removal unit is the non-overlapping 64-char segment (the near-dup
+    * pairs' aligned shared blocks give the rule real signal). Every
+    * segment whose exact content occurs ≥ `minOccurs` times corpus-wide
+    * is dropped and the cleaned text is rebuilt in segment order
+    * (digest emitted; the rebuild is the part worth hard-checking —
+    * order-preserving re-aggregation after a shuffle). Scale: segments
+    * shuffle once for the count and once for the rebuild groupBy — both
+    * keyed, no skew beyond hot segments, which AQE splits. */
+  def qDedupSegments(spark: SparkSession, dir: String, minOccurs: Int = 2): DataFrame = {
+    val d = docs(spark, dir)
+    val seg = d
+      .where(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text), 64), p -> struct(p as p, substring(text, p, 64) as s))")).as("e"))
+      .select(col("doc_id"), col("e.p").as("p"), col("e.s").as("s"))
+    val counts = seg.groupBy(col("s")).agg(count(lit(1)).as("n"))
+    val per = seg.join(counts, "s")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("n") >= minOccurs, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("n") < minOccurs, struct(col("p"), col("s"))))),
+            x => x.getField("s")),
+          "").cast("binary")).as("cleaned_md5"),
+      )
+    d.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("cleaned_md5"), lit("d41d8cd98f00b204e9800998ecf8427e")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------- sequence packing
 
   /** Concat-and-cut sequence packing (the standard LM pretraining layout:
@@ -357,6 +396,26 @@ object CurationQueries {
         |       coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q_dedup_segments" ->
+      """WITH seg AS (
+        |  SELECT doc_id, p, substr(text, p, 64) AS s
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text), 64)) AS p
+        |        FROM documents WHERE length(text) >= 1)
+        |), c AS (
+        |  SELECT s, count(*) AS n FROM seg GROUP BY 1
+        |), j AS (
+        |  SELECT doc_id, p, seg.s, n FROM seg JOIN c USING (s)
+        |), per AS (
+        |  SELECT doc_id, count(*) AS n_segments,
+        |         sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS n_removed,
+        |         md5(coalesce(string_agg(CASE WHEN n < 2 THEN s END, '' ORDER BY p), '')) AS cleaned_md5
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_segments, 0)::BIGINT AS n_segments,
+        |       coalesce(n_removed, 0)::BIGINT AS n_removed,
+        |       coalesce(cleaned_md5, md5('')) AS cleaned_md5
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     // identical semantics to q_dedup_incremental -> identical oracle (the
     // bloom filter is a physical pre-filter; false positives are removed
     // by the exact join, false negatives are impossible)
@@ -406,5 +465,6 @@ object CurationQueries {
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),
     "q_dedup_incr_bloom" -> ((s: SparkSession, d: String) => qDedupIncrBloom(s, d)),
+    "q_dedup_segments" -> ((s: SparkSession, d: String) => qDedupSegments(s, d)),
   )
 }

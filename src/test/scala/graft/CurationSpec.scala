@@ -98,6 +98,27 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(2) > 0))
   }
 
+  test("segment repetition removal: counts consistent, cleaned digest stable") {
+    val rows = CurationQueries.qDedupSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "removed > total segments")
+      assert(r.getString(3).length == 32)
+    }
+    // near-dup pairs share aligned segments -> some doc loses segments
+    assert(rows.exists(_.getLong(2) > 0))
+    // docs with nothing removed keep their full text: digest == md5(text)
+    val d = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = rows.filter(_.getLong(2) == 0)
+    assert(clean.nonEmpty)
+    clean.take(20).foreach { r =>
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(d(r.getLong(0)).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(3) == expect, s"doc ${r.getLong(0)} rebuild drifted")
+    }
+  }
+
   // ----------------------------------------------------- incremental dedup
 
   test("incremental dedup: keeper from seen half, -1 when new") {
