@@ -97,7 +97,9 @@ object ExtractJob {
       if (cfg.stageInput && waves.length > 1) {
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS")))
           withBucket.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stageDir)
-        spark.read.parquet(stageDir) // _bucket is a partition column -> pruned reads
+        // explicit schema: an empty input writes only _SUCCESS and schema
+        // inference would throw; _bucket stays a partition column -> pruned
+        spark.read.schema(withBucket.schema).parquet(stageDir)
       } else withBucket
 
     var waveIdx = 0
@@ -187,8 +189,10 @@ object ExtractJob {
     val stagePath = java.nio.file.Paths.get(stageDir)
     if (java.nio.file.Files.isDirectory(stagePath)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(stagePath).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      scala.util.Using.resource(java.nio.file.Files.walk(stagePath)) { stream =>
+        stream.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
 
     Report(snapId, waves.length, done.size, pending.size)

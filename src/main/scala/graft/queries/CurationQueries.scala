@@ -104,6 +104,9 @@ object CurationQueries {
     * train-side text ever shuffles. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val gramsUdf = udf((text: String) => gramHashes(text))
+    // eval/train branch both derive from this projection; the doc_id
+    // filters push below it, so each branch hashes only its own rows —
+    // grams are computed ~once per document overall, not twice
     val d = docs(spark, dir).select(col("doc_id"), gramsUdf(col("text")).as("gs"))
     val isEval = col("doc_id") % 10 === 0
     val evalGrams = d.where(isEval).select(explode(col("gs")).as("h")).distinct()
@@ -152,6 +155,37 @@ object CurationQueries {
 
   // ---------------------------------------------------- substring dedup
 
+  /** The 64-char/stride-16 window digests of each document, shared by the
+    * three window-granularity dedup queries below. The three queries are
+    * pinned to oracles that share this exact window definition — a single
+    * helper makes silent divergence impossible. transform's lambda needs
+    * the loop position — expr() is the clearest way to bind it;
+    * everything stays builtin/codegen (no UDF). */
+  private def windowDigests(d: DataFrame): DataFrame =
+    d.where(length(col("text")) >= 64)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+
+  /** Shared tail of the two incremental variants: seen-side keeper agg,
+    * batch-side (optionally pre-filtered) join, per-doc attribution. */
+  private def incrementalCore(d: DataFrame, wins: DataFrame,
+      preFilter: DataFrame => DataFrame): DataFrame = {
+    val seen = wins.where(col("doc_id") < 250)
+      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
+    val hits = preFilter(wins.where(col("doc_id") >= 250))
+      .join(seen, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"), min(col("keeper")).as("seen_keeper"))
+    d.where(col("doc_id") >= 250)
+      .select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("seen_keeper"), lit(-1L)).as("seen_keeper"),
+        col("seen_keeper").isNotNull.as("dup_of_seen"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicated-substring detection (Lee et al. 2022 "Deduplicating
     * Training Data Makes Language Models Better", approximated at window
     * granularity): 64-char windows at stride 16, md5 digests, a window is
@@ -161,12 +195,7 @@ object CurationQueries {
     * traded for a two-pass hash plan that runs at 10^12 docs. */
   def qDedupSubstring(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    // transform's lambda needs the loop position — expr() is the clearest
-    // way to bind it; everything stays builtin/codegen (no UDF)
-    val wins = d
-      .where(length(col("text")) >= 64)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+    val wins = windowDigests(d)
     val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("n"))
     val per = wins
       .join(counts, "h")
@@ -195,24 +224,7 @@ object CurationQueries {
     * fronted by a bloom filter when seen ≫ batch. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val wins = d
-      .where(length(col("text")) >= 64)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
-    val seen = wins.where(col("doc_id") < 250)
-      .groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    val hits = wins.where(col("doc_id") >= 250)
-      .join(seen, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"), min(col("keeper")).as("seen_keeper"))
-    d.where(col("doc_id") >= 250)
-      .select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        coalesce(col("seen_keeper"), lit(-1L)).as("seen_keeper"),
-        col("seen_keeper").isNotNull.as("dup_of_seen"))
-      .orderBy(col("doc_id"))
+    incrementalCore(d, windowDigests(d), identity)
   }
 
   /** Bloom-fronted variant of [[qDedupIncremental]] — IDENTICAL output
@@ -225,28 +237,17 @@ object CurationQueries {
     * windows map-side, and the exact join only sees the survivors. */
   def qDedupIncrBloom(spark: SparkSession, dir: String, fpp: Double = 0.01): DataFrame = {
     val d = docs(spark, dir)
-    val wins = d
-      .where(length(col("text")) >= 64)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text) - 63, 16), p -> md5(cast(substring(text, p, 64) as binary)))")).as("h"))
+    val wins = windowDigests(d)
     val seenWins = wins.where(col("doc_id") < 250)
-    val bf = seenWins.stat.bloomFilter("h", 200000L, fpp)
-    val bcBf = spark.sparkContext.broadcast(bf)
+    // size the filter from the actual seen-side cardinality (table stats at
+    // real scale); a hardcoded guess can saturate and turn the map-side
+    // prune into a pass-through
+    val expected = math.max(1024L, seenWins.count())
+    val bf = seenWins.stat.bloomFilter("h", expected, fpp)
+    val bcBf = d.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: String) => bcBf.value.mightContainString(h))
-    val seen = seenWins.groupBy(col("h")).agg(min(col("doc_id")).as("keeper"))
-    val hits = wins.where(col("doc_id") >= 250)
-      .where(mightContain(col("h"))) // map-side prune; FPs die in the join
-      .join(seen, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shared"), min(col("keeper")).as("seen_keeper"))
-    d.where(col("doc_id") >= 250)
-      .select(col("doc_id"))
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        coalesce(col("seen_keeper"), lit(-1L)).as("seen_keeper"),
-        col("seen_keeper").isNotNull.as("dup_of_seen"))
-      .orderBy(col("doc_id"))
+    // map-side prune; FPs die in the exact join inside incrementalCore
+    incrementalCore(d, wins, batch => batch.where(mightContain(col("h"))))
   }
 
   /** Segment-level repetition removal — the C4 §2.2 "discard repeated

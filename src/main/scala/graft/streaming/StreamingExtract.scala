@@ -83,21 +83,33 @@ object StreamingExtract {
     * in several buckets yields duplicate hits — consumers dedupe on
     * (url, dup_of) exactly like the batch query's dropDuplicates.
     */
-  def nearDedupStream(pages: DataFrame, horizonMs: Long = 3600000L, maxHam: Int = 3)(
+  def nearDedupStream(pages: DataFrame, horizonMs: Long = 3600000L, maxHam: Int = 3,
+      watermarkDelay: String = "10 minutes")(
       implicit spark: SparkSession): org.apache.spark.sql.Dataset[NearDupHit] = {
+    // the C(6,3) scheme's pigeonhole guarantee holds only up to hamming 3;
+    // a larger maxHam would silently lose pairs that damage 4+ blocks
+    require(maxHam <= 3, s"C(6,3) blocking guarantees recall only for hamming <= 3, got $maxHam")
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val simUdf = udf((text: String) => graft.queries.TrainingDataQueries.simhash64(text))
     val keysUdf = udf((sim: Long) => graft.queries.TrainingDataQueries.simhashBlockKeys(sim))
     val keyed = pages
       .withColumn("sim", simUdf(col("text")))
+      .withWatermark("warc_ts", watermarkDelay) // drives EventTimeTimeout below
       .select(col("url"), col("warc_ts"), col("sim"),
         explode(keysUdf(col("sim"))).as("block_key"))
       .as[(String, java.sql.Timestamp, Long, Long)]
 
-    // state per block key: seen (url, sim, tsMillis) within the horizon
+    // state per block key: seen (url, sim, tsMillis) within the horizon.
+    // Cold keys (most of the sparse key space — each page touches 20 keys,
+    // nearly all never seen again) are reclaimed by the event-time timeout;
+    // without it, state would grow with total pages, not the horizon.
     def fn(key: Long, batch: Iterator[(String, java.sql.Timestamp, Long, Long)],
            state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
       val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
       // buffer, not List :+ (quadratic per batch on a hot bucket)
       val entries = scala.collection.mutable.ArrayBuffer.from(
@@ -111,11 +123,17 @@ object StreamingExtract {
       }
       // evict beyond the event-time horizon (bounded state)
       val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max
-      state.update(BucketState(entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList))
+      val kept = entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList
+      if (kept.isEmpty) state.remove()
+      else {
+        state.update(BucketState(kept))
+        // reclaim this key once the watermark passes its horizon
+        state.setTimeoutTimestamp(math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+      }
       Iterator.empty ++ out.result()
     }
     keyed.groupByKey(_._4)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
   /** Watermarked sliding-window stats over a streaming events source —

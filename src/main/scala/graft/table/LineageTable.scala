@@ -97,19 +97,35 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   def currentLineageDirs: Seq[String] =
     currentSnapshotId.map(id => snapshot(id)("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)).getOrElse(Nil)
 
+  /** A committed dir from an empty wave holds only _SUCCESS; reading it
+    * would fail schema inference, so union only dirs with data files. */
+  private def hasParquet(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.isDirectory(p) && {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { s =>
+        s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      }
+    }
+  }
+
   def read(spark: SparkSession): DataFrame = {
     val dirs = currentDataDirs
     require(dirs.nonEmpty, s"table $root has no committed snapshot")
+    val nonEmpty = dirs.filter(hasParquet)
+    require(nonEmpty.nonEmpty, s"snapshot of $root contains no data files")
     // one scan per wave dir (each with its own _bucket= partition discovery),
     // unioned — partition pruning applies per branch; a shared catalog table
     // would replace this at real-cluster scale
-    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    nonEmpty.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   def readLineage(spark: SparkSession): DataFrame = {
     val dirs = currentLineageDirs
     require(dirs.nonEmpty, s"table $root has no lineage")
-    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val nonEmpty = dirs.filter(hasParquet)
+    require(nonEmpty.nonEmpty, s"lineage of $root contains no data files")
+    nonEmpty.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
   // ------------------------------------------------------------ tombstones

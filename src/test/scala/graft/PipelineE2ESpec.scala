@@ -28,10 +28,9 @@ class PipelineE2ESpec extends AnyFunSuite {
 
     val packed = CurationQueries.qPackSequences(spark, demoDir)
     assert(packed.count() == nDocs)
-    // duplicate-crawl urls collapse to one doc_id -> exact dedup groups are
-    // singletons after the read-back (dedup happened in the job)
-    val dupGroups = TrainingDataQueries.qDedupExact(spark, demoDir)
-      .where(col("n_docs") > 1).count()
-    assert(dupGroups >= 0) // shape check; content dups depend on corpus mix
+    // duplicate-crawl urls collapsed inside the job: doc_id = url hash, so
+    // the documents table must hold one row per url
+    assert(docs.select("doc_id").distinct().count() == nDocs,
+      "job dedup regressed: duplicate urls survived into the documents table")
   }
 }
