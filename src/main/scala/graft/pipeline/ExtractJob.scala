@@ -142,8 +142,9 @@ object ExtractJob {
         .drop("_salt")
         .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
 
-      // lineage from the written files (no recompute, columnar prune)
-      val written = spark.read.parquet(dataDir)
+      // lineage from the written files (no recompute, columnar prune);
+      // explicit schema: an empty wave writes only _SUCCESS
+      val written = spark.read.schema(results.schema).parquet(dataDir)
       val lineage = written.groupBy($"_bucket")
         .agg(
           count(lit(1)).as("rows"),

@@ -24,6 +24,19 @@ class ResumeSpec extends AnyFunSuite {
   private def freshRoot(): String =
     Files.createTempDirectory("graft-table-").toString
 
+  test("empty crawl delta: multi-wave run completes and commits (no schema-inference crash)") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val empty = spark.createDataset(Seq.empty[graft.model.Page])(implicitly)
+    val cfg = ExtractJob.Config(root, runId = "empty1", numBuckets = 16, bucketsPerWave = 4)
+    val report = ExtractJob.run(spark, empty, cfg) // staging path active (4 waves)
+    assert(report.snapshotId == 1L && report.bucketsRun == 16)
+    // a data-less snapshot is a hard error on read, not an obscure parquet one
+    val ex = intercept[IllegalArgumentException](new LineageTable(root, 16).read(spark))
+    assert(ex.getMessage.contains("no data files"))
+  }
+
   test("full run commits a readable snapshot with complete lineage") {
     val root = freshRoot()
     val cfg = ExtractJob.Config(root, runId = "run1", numBuckets = 16, bucketsPerWave = 4)
