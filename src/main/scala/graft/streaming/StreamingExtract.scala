@@ -116,10 +116,15 @@ object StreamingExtract {
         state.getOption.map(_.entries).getOrElse(Nil))
       val out = Seq.newBuilder[NearDupHit]
       sorted.foreach { case (url, ts, sim, _) =>
-        // earliest-seen match wins (entries are kept in arrival order)
-        entries.find(e => e.url != url && java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
+        val t = ts.getTime
+        // earliest-seen match wins (entries are kept in arrival order).
+        // The horizon check is part of the MATCH semantics, not only of
+        // eviction: state for a key can legitimately still exist when a
+        // doc arrives in the same trigger its timeout would have fired.
+        entries.find(e => e.url != url && t - e.tsMillis <= horizonMs &&
+            java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
           .foreach(e => out += NearDupHit(url, e.url, java.lang.Long.bitCount(e.sim ^ sim)))
-        entries += SeenDoc(url, sim, ts.getTime)
+        entries += SeenDoc(url, sim, t)
       }
       // evict beyond the event-time horizon (bounded state)
       val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max

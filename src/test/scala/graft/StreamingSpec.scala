@@ -112,6 +112,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits.toSet == Set(("u://a2", "u://a")), s"got ${hits.mkString(",")}")
   }
 
+  test("streaming near-dup: state beyond the horizon is evicted (old dup not flagged)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    // tiny horizon + watermark so eviction happens within the test
+    val q = StreamingExtract.nearDedupStream(mem.toDF(), horizonMs = 1000L,
+        watermarkDelay = "1 second")(spark)
+      .writeStream.format("memory").queryName("neardup_evict").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, text: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), Array.emptyByteArray, text, "en")
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta " * 25
+    mem.addData(page("u://old", t0, 0))
+    q.processAllAvailable()
+    // unrelated traffic far in the future advances the watermark past the horizon
+    mem.addData(page("u://mid", "totally different words about join orders and buckets " * 20, 60000))
+    q.processAllAvailable()
+    // the near-identical re-crawl arrives after u://old's entries expired
+    mem.addData(page("u://late", t0.replaceFirst("alpha", "omega"), 61000))
+    q.processAllAvailable()
+    val hits = spark.sql("select url, dup_of from neardup_evict").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(!hits.contains(("u://late", "u://old")),
+      s"expired state must not produce hits, got ${hits.mkString(",")}")
+  }
+
   test("watermarked windowed aggregation over a rate-like memory stream") {
     val s = spark
     import s.implicits._
