@@ -15,7 +15,8 @@ object PlanDump {
       "q_range_join", "q_custdist",
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_emb_cosine",
       "q_ann_brute_force", "q_ann_lsh", "q_ann_ivf",
-      "q_decontaminate", "q_dedup_substring", "q_pack_sequences",
+      "q_decontaminate", "q_dedup_substring", "q_dedup_segments",
+      "q_dedup_incr_bloom", "q_pack_sequences",
       "x_extract_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — explain(formatted) of headline queries (")

@@ -94,9 +94,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!postScan.contains("Exchange hashpartitioning(text"), "text must not shuffle")
   }
 
-  test("substring/incremental dedup: digest-only equi-joins") {
+  test("substring/incremental/segment dedup: digest-only equi-joins") {
     for (df <- Seq(graft.queries.CurationQueries.qDedupSubstring(spark, dir),
-                   graft.queries.CurationQueries.qDedupIncremental(spark, dir))) {
+                   graft.queries.CurationQueries.qDedupIncremental(spark, dir),
+                   graft.queries.CurationQueries.qDedupSegments(spark, dir))) {
       val plan = planOf(df)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"non-equi join:\n$plan")
