@@ -72,11 +72,16 @@ object Bench {
       name -> t
     }
 
-    // headline: pure extraction throughput at this sf (pages/sec) — a fresh
-    // kernel pipeline over a materialized pages table (the production
-    // shape: parquet scan → kernel; synthetic-corpus generation excluded,
-    // it is not part of the measured system), NOT the cached x_* results
-    val nPages = graft.queries.ExtractionQueries.scaleFor(sfDir)
+    // headline: pure extraction throughput (pages/sec) — a fresh kernel
+    // pipeline over a materialized pages table (the production shape:
+    // parquet scan → kernel; synthetic-corpus generation excluded, it is
+    // not part of the measured system), NOT the cached x_* results.
+    // Fixed 160k pages regardless of sf: short 20k-page windows (<1 s)
+    // showed 4-5x variance from ambient host contention that steal ticks
+    // don't capture; 160k amortizes it AND shares ScalingBench's cached
+    // corpus dir, so the headline is directly comparable to the scaling
+    // legs.
+    val nPages = 160000
     val corpusDir = s"/tmp/graft-bench-corpus-v${graft.gen.CorpusGen.GenVersion}-$nPages"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
       import spark.implicits._
@@ -93,7 +98,11 @@ object Bench {
     val extractRuns = scala.collection.mutable.ArrayBuffer(
       (0 until 3).map(_ => timeWithSteal(freshExtract())): _*)
     var extractExtra = 0
-    while (!extractRuns.exists(clean) && extractExtra < 3) {
+    // storms here last minutes, not seconds: back off between retries so a
+    // sustained window doesn't contaminate every attempt of an unattended
+    // driver run (bounded: 6 retries x 20 s sleep)
+    while (!extractRuns.exists(clean) && extractExtra < 6) {
+      Thread.sleep(20000)
       extractRuns += timeWithSteal(freshExtract())
       extractExtra += 1
     }
