@@ -121,7 +121,9 @@ object StreamingExtract {
         // The horizon check is part of the MATCH semantics, not only of
         // eviction: state for a key can legitimately still exist when a
         // doc arrives in the same trigger its timeout would have fired.
-        entries.find(e => e.url != url && t - e.tsMillis <= horizonMs &&
+        // Two-sided: a late-but-above-watermark doc must not match an
+        // entry more than a horizon ahead of it either.
+        entries.find(e => e.url != url && math.abs(t - e.tsMillis) <= horizonMs &&
             java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
           .foreach(e => out += NearDupHit(url, e.url, java.lang.Long.bitCount(e.sim ^ sim)))
         entries += SeenDoc(url, sim, t)

@@ -21,16 +21,11 @@ object ScalingBench {
     val nPages = args.headOption.map(_.toInt).getOrElse(160000)
     val nSmall = args.drop(1).headOption.map(_.toInt).getOrElse(8)
     val nBig = nSmall * 4
-    val corpusDir = s"/tmp/graft-bench-corpus-v${graft.gen.CorpusGen.GenVersion}-$nPages"
-
-    // materialize the corpus once (not timed): ~128 files so both levels
-    // get fine-grained splits
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(corpusDir, "_SUCCESS"))) {
+    // materialize the corpus once (not timed) — shared with Bench's
+    // extraction headline via BenchCorpus so the numbers are comparable
+    val corpusDir = {
       val spark = GraftSession.local(nBig)
-      import spark.implicits._
-      try spark.range(0, nPages, 1, 128)
-        .map(i => graft.gen.CorpusGen.pageFor(i))
-        .write.mode("overwrite").parquet(corpusDir)
+      try BenchCorpus.ensure(spark, nPages)
       finally spark.stop()
     }
 

@@ -25,7 +25,7 @@ object TypeProbe {
       sums(r.document_type) = (s + dt, c + 1)
     }
     val total = sums.values.map(_._1).sum.toDouble
-    println(f"${"type"}%-10s ${"docs"}%8s ${"share%%"}%8s ${"us/doc"}%10s")
+    println("type           docs   share%     us/doc")
     sums.toSeq.sortBy(-_._2._1).foreach { case (t, (ns, c)) =>
       println(f"$t%-10s $c%8d ${ns / total * 100}%7.1f%% ${ns / 1000.0 / c}%10.1f")
     }
