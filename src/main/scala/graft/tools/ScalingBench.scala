@@ -23,11 +23,13 @@ object ScalingBench {
     val nBig = nSmall * 4
     // materialize the corpus once (not timed) — shared with Bench's
     // extraction headline via BenchCorpus so the numbers are comparable
-    val corpusDir = {
-      val spark = GraftSession.local(nBig)
-      try BenchCorpus.ensure(spark, nPages)
-      finally spark.stop()
-    }
+    val corpusDir =
+      if (BenchCorpus.exists(nPages)) BenchCorpus.dirFor(nPages)
+      else {
+        val spark = GraftSession.local(nBig)
+        try BenchCorpus.ensure(spark, nPages)
+        finally spark.stop()
+      }
 
     def extractCount(spark: org.apache.spark.sql.SparkSession): Long = {
       import spark.implicits._
