@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   *    table (at scale: bucketed by digest so the join is shuffle-free on
   *    the new-batch side only, or a bloom pre-filter when the seen side
   *    is far larger than the batch).
+  *
+  * Cross-engine character semantics: the substring/segment queries index
+  * by CHARACTER position, identical between JVM UTF-16 and DuckDB UTF-8
+  * for the BMP; the corpus is ASCII (verified), so the oracles are exact.
+  * A non-BMP corpus would need byte-position (or codepoint-aware)
+  * windows on both sides.
   */
 object CurationQueries {
 
