@@ -603,9 +603,17 @@ object TrainingDataQueries {
     * codegen'd, linear at 10^12 docs — and every signal/rule is
     * reproduced by the DuckDB oracle.
     * Rules: word count in [20, 100000]; mean word length in [3, 12];
-    * symbol ratio < 0.10; word-repetition (1 − distinct/total) ≤ 0.60. */
+    * symbol ratio < 0.10; word-repetition (1 − distinct/total) ≤ 0.60;
+    * duplicate-2-gram fraction ≤ 0.10 (Gopher's dup-n-gram family —
+    * Rae et al. use 0.20 on real text; tightened so the rule has signal
+    * on this low-repetition synthetic corpus). */
   def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
     val words = split(trim(col("text")), "\\s+")
+    // NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
+    // <2-words case is guarded at the use site, never evaluated here
+    val bigrams = expr(
+      "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), " +
+        "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', element_at(split(trim(text), '\\\\s+'), i + 1)))")
     val d = docs(spark, dir).select(
       col("doc_id"),
       size(words).as("n_words"),
@@ -613,12 +621,16 @@ object TrainingDataQueries {
       round(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
         greatest(length(col("text")), lit(1)), 4).as("symbol_ratio_r"),
       round(lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 4).as("word_rep_r"),
+      when(size(words) < 2, lit(0.0))
+        .otherwise(round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams), 4))
+        .as("dup_bigram_r"),
     )
     d.withColumn("drop_reason",
         when(col("n_words") < 20 || col("n_words") > 100000, "word_count")
           .when(col("mean_word_len_r") < 3.0 || col("mean_word_len_r") > 12.0, "mean_word_len")
           .when(col("symbol_ratio_r") >= 0.10, "symbol_ratio")
           .when(col("word_rep_r") > 0.60, "repetition")
+          .when(col("dup_bigram_r") > 0.10, "bigram_rep")
           .otherwise(null))
       .withColumn("keep", col("drop_reason").isNull)
       .orderBy(col("doc_id"))
@@ -898,27 +910,34 @@ object TrainingDataQueries {
     // C4/Gopher-style filter reproduced per doc (same split/regex
     // semantics as q_token_count, same first-failing-rule CASE chain).
     "q_corpus_filter" ->
-      """WITH sig AS (
+      """WITH wl AS (
+        |  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents
+        |), sig AS (
         |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
-        |    round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE
-        |          / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len_r,
+        |    len(w) AS n_words,
+        |    round(length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(w), 4) AS mean_word_len_r,
         |    round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))::DOUBLE
         |          / greatest(length(text), 1), 4) AS symbol_ratio_r,
-        |    round(1.0 - len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
-        |          / len(string_split_regex(trim(text), '\s+')), 4) AS word_rep_r
-        |  FROM documents
+        |    round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 4) AS word_rep_r,
+        |    CASE WHEN len(w) < 2 THEN 0.0
+        |         ELSE round(1.0 - len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |                                                           i -> w[i] || ' ' || w[i+1])))::DOUBLE
+        |                    / (len(w) - 1), 4) END AS dup_bigram_r
+        |  FROM wl
         |)
-        |SELECT doc_id, n_words, mean_word_len_r, symbol_ratio_r, word_rep_r,
+        |SELECT doc_id, n_words, mean_word_len_r, symbol_ratio_r, word_rep_r, dup_bigram_r,
         |  CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
         |       WHEN mean_word_len_r < 3.0 OR mean_word_len_r > 12.0 THEN 'mean_word_len'
         |       WHEN symbol_ratio_r >= 0.10 THEN 'symbol_ratio'
         |       WHEN word_rep_r > 0.60 THEN 'repetition'
+        |       WHEN dup_bigram_r > 0.10 THEN 'bigram_rep'
         |       ELSE NULL END AS drop_reason,
         |  (CASE WHEN n_words < 20 OR n_words > 100000 THEN 'word_count'
         |        WHEN mean_word_len_r < 3.0 OR mean_word_len_r > 12.0 THEN 'mean_word_len'
         |        WHEN symbol_ratio_r >= 0.10 THEN 'symbol_ratio'
         |        WHEN word_rep_r > 0.60 THEN 'repetition'
+        |        WHEN dup_bigram_r > 0.10 THEN 'bigram_rep'
         |        ELSE NULL END) IS NULL AS keep
         |FROM sig ORDER BY doc_id""".stripMargin,
 
