@@ -88,10 +88,17 @@ object Bench {
     // legs.
     val nPages = 160000
     val corpusDir = graft.tools.BenchCorpus.ensure(spark, nPages)
+    // fresh session for the headline: the query-loop session carries 59
+    // queries' worth of cached corpus, broadcasts and old-gen pressure,
+    // which measured 2.5x slower than ScalingBench's fresh sessions on
+    // the identical job — the headline should measure the kernel, not
+    // this process's accumulated heap state
+    spark.stop()
+    val spark2 = GraftSession.local(cpus)
     def freshExtract(): Long = {
-      import spark.implicits._
-      val pages = spark.read.parquet(corpusDir).as[graft.model.Page]
-      graft.pipeline.ExtractKernel.extract(pages, graft.model.ConversionOptions())(spark)
+      import spark2.implicits._
+      val pages = spark2.read.parquet(corpusDir).as[graft.model.Page]
+      graft.pipeline.ExtractKernel.extract(pages, graft.model.ConversionOptions())(spark2)
         .where("status = 'completed'").count()
     }
     freshExtract() // warm
@@ -115,6 +122,6 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
-    spark.stop()
+    spark2.stop()
   }
 }
