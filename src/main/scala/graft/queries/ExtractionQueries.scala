@@ -162,6 +162,38 @@ object ExtractionQueries {
       .orderBy(col("document_type"))
   }
 
+  /** Embedding-envelope hard check over the 64 pinned urls: per embedding
+    * dimension, chunk count, a unit-norm check (sq_norm·100 rounded — the
+    * embedder L2-normalizes, so every chunk must digest to exactly 100),
+    * and a weight digest (per-chunk sum of round(v·10⁴) over all
+    * components — integer-exact and sensitive to every element). Pins the
+    * chunk→embed pipeline (dim, normalization, deterministic weights)
+    * driver-side; the oracle stores values generated from an audited run
+    * (scripts/emb_oracle_gen.py, golden discipline). */
+  def xExtractEmb64(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
+      .where(col("url").isin(pinned: _*))
+      .dropDuplicates("url")
+      .select(explode(col("chunks")).as("chunk"))
+      .select(
+        size(col("chunk.embedding")).as("dim"),
+        round(aggregate(col("chunk.embedding"), lit(0.0d), (acc, v) => acc + v * v) * 100, 0)
+          .cast("long").as("sqn100"),
+        aggregate(col("chunk.embedding"), lit(0L),
+          (acc, v) => acc + round(v * 10000, 0).cast("long")).as("csum"),
+      )
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("sqn100")).as("sqn100_sum"),
+        sum(col("csum")).as("csum_sum"),
+        min(col("csum")).as("csum_min"),
+        max(col("csum")).as("csum_max"),
+      )
+      .orderBy(col("dim"))
+  }
+
   val oracles: Map[String, String] = Map(
     // Pinned per-type envelope stats over the same 64 urls (chunking /
     // table-extraction / page-count hard check). Regenerate:
@@ -177,6 +209,14 @@ object ExtractionQueries {
         |  ('pptx', 2, 1865, 6, 0, 6),
         |  ('xlsx', 3, 671, 3, 5, 5)
         |) t(document_type, n_docs, content_chars, n_chunks, n_tables, pages) ORDER BY document_type""".stripMargin,
+
+    // Pinned embedding-envelope digest over the same 64 urls (dim /
+    // normalization / per-component weights hard check). Regenerate:
+    // scripts/emb_oracle_gen.py (same audit discipline as goldens).
+    "x_extract_emb64" ->
+      """SELECT * FROM (VALUES
+        |  (384, 424, 42400, 1373692, -17362, 28834)
+        |) t(dim, n_chunks, sqn100_sum, csum_sum, csum_min, csum_max) ORDER BY dim""".stripMargin,
 
     // Pinned extraction hashes (golden-fixture analog, driver-visible).
     // Regenerate ONLY on deliberate extraction-semantics change:
@@ -258,6 +298,7 @@ object ExtractionQueries {
     "x_extract_embeddings" -> (xExtractEmbeddings _),
     "x_extract_hashes" -> (xExtractHashes _),
     "x_extract_stats64" -> (xExtractStats64 _),
+    "x_extract_emb64" -> (xExtractEmb64 _),
     "x_doc_types" -> (xDocTypes _),
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
   )
