@@ -306,6 +306,75 @@ object TrainingDataQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------- near-dup clustering
+
+  /** Connected components over an undirected edge list `(u, v)` of longs:
+    * returns `(node, label)` where label = min node id of the component.
+    *
+    * Iterative min-label propagation as DataFrame joins — each round
+    * shuffles only (node, label) pairs (16 bytes/row), never payloads, and
+    * folds in pointer-jumping (my label's label) so a path of diameter d
+    * converges in O(log d) rounds instead of O(d); the 48-round cap covers
+    * d ≈ 2^48 and in practice near-dup components are near-cliques
+    * (diameter ≤ 2–3 rounds). Lineage is cut with an eager localCheckpoint
+    * per round, so the plan never grows with iterations and each round's
+    * fixpoint count() (a driver-side scalar, not a data collect) reuses the
+    * checkpointed blocks. Deliberately NOT GraphX: the RDD API forfeits
+    * codegen/AQE; this loop is the standard DataFrame CC recipe
+    * (hash-to-min family, Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). */
+  def connectedComponents(edgesIn: DataFrame): DataFrame = {
+    val pairs = edgesIn.toDF("u", "v")
+    val edges = pairs
+      .union(pairs.select(col("v"), col("u")))
+      .dropDuplicates("u", "v")
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 48) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
+        .groupBy(col("u").as("node")).agg(min(col("vl")).as("nbr"))
+      val jump = labels.select(col("node").as("label"), col("label").as("jl"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(jump, Seq("label"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nbr"), col("label")),
+            coalesce(col("jl"), col("label"))).as("next_label"))
+        .localCheckpoint(true)
+      changed = next.where(col("next_label") =!= col("label")).count()
+      labels = next.select(col("node"), col("next_label").as("label")).localCheckpoint(true)
+      rounds += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * MinHash-LSH pair graph ([[qDedupMinhashLsh]]), each doc labeled with
+    * the min doc_id of its component plus the component size — the
+    * canonical "keep one per cluster" step after pair generation (pairs
+    * alone over-delete when duplicates chain A~B~C with A≁C). Docs in no
+    * verified pair are their own singleton cluster and are excluded from
+    * the output (at 100 TB the overwhelming majority — emitting them would
+    * dwarf the interesting rows).
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure over the same
+    * brute-forced exact-Jaccard pair set — closure cost is Σ|component|²,
+    * fine at oracle scale because verified components are tiny. */
+  def qDedupCluster(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val labels = connectedComponents(
+      qDedupMinhashLsh(spark, dir, threshold).select(col("doc_a"), col("doc_b")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Char-k-gram hashes: sorted distinct primitive array; rolling
     * polynomial hash remixed with splitmix64 (no substring allocation). */
   def charShingles(text: String, k: Int): Array[Long] = {
@@ -747,6 +816,43 @@ object TrainingDataQueries {
         |                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 4) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // Connected components of the near-dup pair graph: recursive-CTE
+    // transitive closure over the SAME brute-forced word-3-shingle exact
+    // Jaccard pairs as q_dedup_minhash_lsh (closure is Σ|component|² —
+    // components are tiny at oracle scale).
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(wl) = 0 THEN []
+        |         WHEN len(wl) < 3 THEN [array_to_string(wl, ' ')]
+        |         ELSE list_distinct(list_transform(generate_series(1, len(wl) - 2),
+        |                                           i -> array_to_string(wl[i:i+2], ' ')))
+        |    END AS s
+        |  FROM base
+        |), pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE round(CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+        |              ELSE len(list_intersect(a.s, b.s))::DOUBLE
+        |                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) END, 4) >= 0.5
+        |), edges AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), lbl AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        |)
+        |SELECT l.doc_id, l.cluster_id, c.cluster_size
+        |FROM lbl l
+        |JOIN (SELECT cluster_id, count(*) AS cluster_size FROM lbl GROUP BY cluster_id) c
+        |  USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // Brute-force exact char-5-gram Jaccard (substr shingles — the corpus
     // text is ASCII, so DuckDB character semantics == JVM UTF-16 here).
     "q_dedup_ngram_jaccard" ->
@@ -983,6 +1089,7 @@ object TrainingDataQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_minhash_lsh" -> ((s: SparkSession, d: String) => qDedupMinhashLsh(s, d)),
+    "q_dedup_cluster" -> ((s: SparkSession, d: String) => qDedupCluster(s, d)),
     "q_dedup_simhash" -> ((s: SparkSession, d: String) => qDedupSimhash(s, d)),
     "q_dedup_ngram_jaccard" -> ((s: SparkSession, d: String) => qDedupNgramJaccard(s, d)),
     "q_dedup_emb_cosine" -> ((s: SparkSession, d: String) => qDedupEmbCosine(s, d)),

@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.TrainingDataQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected-components machinery behind q_dedup_cluster. The path-graph
+  * cases exercise transitivity the real corpus never does (its near-dup
+  * components are cliques), so the iterative min-label/pointer-jumping
+  * loop is proven on the shapes it exists for. */
+class ClusterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    TrainingDataQueries.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("path graph collapses to one component labeled by its min node") {
+    // 20-hop chain: min-label needs transitive propagation, and the label
+    // must travel the full diameter (worst case for the loop)
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val labels = cc(chain)
+    assert(labels.keySet == (0L to 20L).toSet)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("disjoint components keep separate min labels; ids need not be dense") {
+    val edges = Seq((100L, 7L), (7L, 42L), (9000L, 8999L))
+    val labels = cc(edges)
+    assert(labels == Map(100L -> 7L, 7L -> 7L, 42L -> 7L, 9000L -> 8999L, 8999L -> 8999L))
+  }
+
+  test("duplicate and reversed edges are harmless; empty input yields empty output") {
+    val labels = cc(Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("q_dedup_cluster groups the sf0.001 near-dup pairs consistently") {
+    val rows = TrainingDataQueries.qDedupCluster(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty, "corpus has near-dup pairs, so clusters must exist")
+    // every cluster_id is a member of its own cluster, is its min doc_id,
+    // and cluster_size matches the actual member count
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      val ids = members.map(_.getLong(0)).toSet
+      assert(ids.contains(cid) && ids.min == cid)
+      assert(members.forall(_.getLong(2) == members.length.toLong))
+      assert(members.length >= 2, "singletons are excluded")
+    }
+    // consistency with the pair query: every verified pair lands in one cluster
+    val pairs = TrainingDataQueries.qDedupMinhashLsh(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) => assert(label(a) == label(b)) }
+  }
+}
