@@ -143,6 +143,85 @@ object StreamingExtract {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  final case class MinhashHit(url: String, dup_of: String, jaccard_est: Double)
+  final case class SeenSig(url: String, sig: Array[Long], tsMillis: Long)
+  final case class SigBucketState(entries: List[SeenSig])
+
+  /** Streaming near-dup via MinHash+LSH — the continuous analog of
+    * [[graft.queries.TrainingDataQueries.qDedupMinhashLsh]], with the same
+    * 16×8 banding keys. The design point that differs from
+    * [[nearDedupStream]]: the batch query verifies candidates with EXACT
+    * shingle Jaccard by re-joining texts, but a stream cannot keep texts
+    * in state (unbounded); instead the 128-perm signature itself is
+    * stored and similarity is the signature agreement fraction — an
+    * unbiased Jaccard estimator with σ = sqrt(J(1−J)/128) ≤ 0.045, so a
+    * 0.5 threshold sits ≥ 8σ from the corpus's bimodal similarity bands
+    * (J ≥ 0.9 / J < 0.3) and the verdicts match the batch query's.
+    *
+    * State: per band key, (url, 128-long signature, ts) triples inside the
+    * event-time horizon — horizon arrivals × 16 keys × ~1 KB at 100 TB,
+    * never the corpus; cold keys are reclaimed by EventTimeTimeout. The
+    * signature is duplicated across a doc's 16 band buckets — the
+    * alternative (keys-only state + a second verification join) would add
+    * a shuffle per micro-batch for a 16× state saving; at ~1 KB/doc the
+    * duplication is the cheaper side of the trade. Match semantics mirror
+    * nearDedupStream: earliest-seen match wins, two-sided horizon. */
+  def minhashDedupStream(pages: DataFrame, horizonMs: Long = 3600000L,
+      threshold: Double = 0.5, watermarkDelay: String = "10 minutes")(
+      implicit spark: SparkSession): org.apache.spark.sql.Dataset[MinhashHit] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.queries.TrainingDataQueries.{bandHashes, minhashSignature, MinhashPerms}
+    val sigUdf = udf((text: String) => minhashSignature(text))
+    val keysUdf = udf((sig: Seq[Long]) => bandHashes(sig.toArray))
+    val keyed = pages
+      .withColumn("sig", sigUdf(col("text")))
+      .withWatermark("warc_ts", watermarkDelay)
+      .select(col("url"), col("warc_ts"), col("sig"),
+        explode(keysUdf(col("sig"))).as("band_key"))
+      .as[(String, java.sql.Timestamp, Array[Long], Long)]
+
+    def agree(a: Array[Long], b: Array[Long]): Double = {
+      var n = 0
+      var i = 0
+      while (i < a.length) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / MinhashPerms
+    }
+
+    def fn(key: Long, batch: Iterator[(String, java.sql.Timestamp, Array[Long], Long)],
+           state: GroupState[SigBucketState]): Iterator[MinhashHit] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        return Iterator.empty
+      }
+      val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
+      val entries = scala.collection.mutable.ArrayBuffer.from(
+        state.getOption.map(_.entries).getOrElse(Nil))
+      val out = Seq.newBuilder[MinhashHit]
+      sorted.foreach { case (url, ts, sig, _) =>
+        val t = ts.getTime
+        entries.iterator
+          .filter(e => e.url != url && math.abs(t - e.tsMillis) <= horizonMs)
+          .map(e => (e, agree(e.sig, sig)))
+          .find(_._2 >= threshold)
+          .foreach { case (e, j) =>
+            out += MinhashHit(url, e.url, math.rint(j * 10000) / 10000)
+          }
+        entries += SeenSig(url, sig, t)
+      }
+      val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max
+      val kept = entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList
+      if (kept.isEmpty) state.remove()
+      else {
+        state.update(SigBucketState(kept))
+        state.setTimeoutTimestamp(math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
+      }
+      Iterator.empty ++ out.result()
+    }
+    keyed.groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
   /** Watermarked sliding-window stats over a streaming events source —
     * the continuous analog of qAggStats (O5). */
   def eventsWindowedCounts(events: DataFrame, watermark: String = "10 minutes",

@@ -141,6 +141,60 @@ class StreamingSpec extends AnyFunSuite {
       s"expired state must not produce hits, got ${hits.mkString(",")}")
   }
 
+  test("streaming minhash near-dup flags a near-identical re-crawl, estimate tracks Jaccard") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.minhashDedupStream(mem.toDF())(spark)
+      .writeStream.format("memory").queryName("minhash_out").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, text: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), Array.emptyByteArray, text, "en")
+    val t0 = (1 to 120).map(i => s"word$i").mkString(" ")
+    mem.addData(
+      page("u://a", t0, 0),
+      page("u://b", (200 to 320).map(i => s"token$i").mkString(" "), 1000),
+    )
+    q.processAllAvailable()
+    // near-identical re-crawl (one word changed, J ≈ 0.96) in a later batch
+    mem.addData(page("u://a2", t0.replaceFirst("word60", "changed"), 2000))
+    q.processAllAvailable()
+    val hits = spark.sql("select distinct url, dup_of, jaccard_est from minhash_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    q.stop()
+    assert(hits.map(h => (h._1, h._2)).toSet == Set(("u://a2", "u://a")), s"got ${hits.mkString(",")}")
+    // agreement fraction must estimate the true J ≈ 0.95 (±8/128 slack)
+    assert(hits.forall(h => h._3 > 0.85 && h._3 <= 1.0), s"estimate off: ${hits.mkString(",")}")
+  }
+
+  test("streaming minhash near-dup: state beyond the horizon is evicted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.minhashDedupStream(mem.toDF(), horizonMs = 1000L,
+        watermarkDelay = "1 second")(spark)
+      .writeStream.format("memory").queryName("minhash_evict").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, text: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), Array.emptyByteArray, text, "en")
+    val t0 = (1 to 120).map(i => s"word$i").mkString(" ")
+    mem.addData(page("u://old", t0, 0))
+    q.processAllAvailable()
+    mem.addData(page("u://mid", (500 to 620).map(i => s"other$i").mkString(" "), 60000))
+    q.processAllAvailable()
+    mem.addData(page("u://late", t0.replaceFirst("word60", "omega"), 61000))
+    q.processAllAvailable()
+    val hits = spark.sql("select url, dup_of from minhash_evict").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    q.stop()
+    assert(!hits.contains(("u://late", "u://old")),
+      s"expired state must not produce hits, got ${hits.mkString(",")}")
+  }
+
   test("watermarked windowed aggregation over a rate-like memory stream") {
     val s = spark
     import s.implicits._
