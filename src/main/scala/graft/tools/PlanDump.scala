@@ -14,6 +14,7 @@ object PlanDump {
       "q_filter_project", "q1_lineitem_agg", "q_join_stats", "q_asof_join",
       "q_range_join", "q_custdist",
       "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_emb_cosine",
+      "q_dedup_cluster",
       "q_ann_brute_force", "q_ann_lsh", "q_ann_ivf",
       "q_decontaminate", "q_dedup_substring", "q_dedup_segments",
       "q_dedup_incr_bloom", "q_pack_sequences",

@@ -37,6 +37,17 @@ class ClusterSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("CC loop truncates lineage per round (plan must not grow with iterations)") {
+    import spark.implicits._
+    // a 20-hop chain needs several propagation rounds; without the per-round
+    // localCheckpoint the final plan would nest one join-tree per round
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val labels = TrainingDataQueries.connectedComponents(chain.toDF("u", "v"))
+    val planLines = labels.queryExecution.logical.treeString.linesIterator.size
+    assert(planLines <= 3,
+      s"expected a checkpointed-RDD scan, got a $planLines-line plan:\n${labels.queryExecution.logical.treeString}")
+  }
+
   test("q_dedup_cluster groups the sf0.001 near-dup pairs consistently") {
     val rows = TrainingDataQueries.qDedupCluster(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty, "corpus has near-dup pairs, so clusters must exist")
