@@ -340,6 +340,12 @@ object TrainingDataQueries {
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nbr"))
       val jump = labels.select(col("node").as("label"), col("label").as("jl"))
+      // ONE eager checkpoint per round: `labels` is a pure projection over
+      // the checkpointed `next`, so the plan stays flat (Project over
+      // LogicalRDD) without materializing the 16-byte rows twice.
+      // Superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner; their transient footprint is rounds × |labels| ×
+      // 16 B + old/new-label overhead — per-node labels, not corpus data.
       val next = labels
         .join(nbrMin, Seq("node"), "left")
         .join(jump, Seq("label"), "left")
@@ -348,7 +354,7 @@ object TrainingDataQueries {
             coalesce(col("jl"), col("label"))).as("next_label"))
         .localCheckpoint(true)
       changed = next.where(col("next_label") =!= col("label")).count()
-      labels = next.select(col("node"), col("next_label").as("label")).localCheckpoint(true)
+      labels = next.select(col("node"), col("next_label").as("label"))
       rounds += 1
     }
     labels

@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   * streaming note); this is the incremental-ingest variant — same kernel,
   * exactly-once via the streaming checkpoint + idempotent parquet sink.
   */
-object StreamingExtract {
+object StreamingExtract extends Serializable {
 
   val PageSchema: StructType = StructType(Seq(
     StructField("url", StringType),
@@ -71,6 +71,38 @@ object StreamingExtract {
   final case class SeenDoc(url: String, sim: Long, tsMillis: Long)
   final case class BucketState(entries: List[SeenDoc])
 
+  /** Shared per-bucket micro-batch step for the two near-dup streams
+    * (simhash blocks / minhash bands): earliest-seen match wins, the
+    * horizon check is two-sided MATCH semantics (inside `tryMatch`), and
+    * eviction keys off min(maxTs, watermark) − horizon — an entry may be
+    * dropped only once neither in-flight batch data (maxTs) nor any
+    * future above-watermark arrival could still legally match it.
+    * (Evicting at maxTs − horizon alone loses hits: a doc landing
+    * horizon+ε after entry X evicts X, then a late-but-above-watermark
+    * doc within X's horizon finds nothing.) Returns (hits, kept entries,
+    * maxTs seen). */
+  private def bucketStep[P, H](
+      batch: Seq[(String, java.sql.Timestamp, P)],
+      prior: List[(String, P, Long)],
+      horizonMs: Long,
+      watermarkMs: Long,
+      tryMatch: ((String, P, Long), String, P, Long) => Option[H],
+  ): (List[H], List[(String, P, Long)], Long) = {
+    val sorted = batch.sortBy(r => (r._2.getTime, r._1))
+    // buffer, not List :+ (quadratic per batch on a hot bucket)
+    val entries = scala.collection.mutable.ArrayBuffer.from(prior)
+    val out = List.newBuilder[H]
+    sorted.foreach { case (url, ts, p) =>
+      val t = ts.getTime
+      entries.iterator.map(e => tryMatch(e, url, p, t))
+        .collectFirst { case Some(h) => h }.foreach(out += _)
+      entries += ((url, p, t))
+    }
+    val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_._3).max
+    val evictBefore = math.min(maxTs, watermarkMs) - horizonMs
+    (out.result(), entries.iterator.filter(_._3 >= evictBefore).toList, maxTs)
+  }
+
   /** Streaming NEAR-dup detection — the continuous analog of
     * qDedupSimhash, with the same Manku C(6,3) block-combination scheme
     * (recall 1.0 at hamming ≤ `maxHam` by pigeonhole). Each page's 64-bit
@@ -104,40 +136,33 @@ object StreamingExtract {
     // Cold keys (most of the sparse key space — each page touches 20 keys,
     // nearly all never seen again) are reclaimed by the event-time timeout;
     // without it, state would grow with total pages, not the horizon.
+    // The horizon check is part of the MATCH semantics, not only of
+    // eviction: state for a key can legitimately still exist when a doc
+    // arrives in the same trigger its timeout would have fired. Two-sided:
+    // a late-but-above-watermark doc must not match an entry more than a
+    // horizon ahead of it either.
     def fn(key: Long, batch: Iterator[(String, java.sql.Timestamp, Long, Long)],
            state: GroupState[BucketState]): Iterator[NearDupHit] = {
       if (state.hasTimedOut) {
         state.remove()
         return Iterator.empty
       }
-      val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
-      // buffer, not List :+ (quadratic per batch on a hot bucket)
-      val entries = scala.collection.mutable.ArrayBuffer.from(
-        state.getOption.map(_.entries).getOrElse(Nil))
-      val out = Seq.newBuilder[NearDupHit]
-      sorted.foreach { case (url, ts, sim, _) =>
-        val t = ts.getTime
-        // earliest-seen match wins (entries are kept in arrival order).
-        // The horizon check is part of the MATCH semantics, not only of
-        // eviction: state for a key can legitimately still exist when a
-        // doc arrives in the same trigger its timeout would have fired.
-        // Two-sided: a late-but-above-watermark doc must not match an
-        // entry more than a horizon ahead of it either.
-        entries.find(e => e.url != url && math.abs(t - e.tsMillis) <= horizonMs &&
-            java.lang.Long.bitCount(e.sim ^ sim) <= maxHam)
-          .foreach(e => out += NearDupHit(url, e.url, java.lang.Long.bitCount(e.sim ^ sim)))
-        entries += SeenDoc(url, sim, t)
-      }
-      // evict beyond the event-time horizon (bounded state)
-      val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max
-      val kept = entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList
+      val (hits, kept, maxTs) = bucketStep[Long, NearDupHit](
+        batch.map(r => (r._1, r._2, r._3)).toSeq,
+        state.getOption.map(_.entries.map(e => (e.url, e.sim, e.tsMillis))).getOrElse(Nil),
+        horizonMs, state.getCurrentWatermarkMs(),
+        (e, url, sim, t) =>
+          if (e._1 != url && math.abs(t - e._3) <= horizonMs &&
+              java.lang.Long.bitCount(e._2 ^ sim) <= maxHam)
+            Some(NearDupHit(url, e._1, java.lang.Long.bitCount(e._2 ^ sim)))
+          else None)
       if (kept.isEmpty) state.remove()
       else {
-        state.update(BucketState(kept))
+        state.update(BucketState(kept.map { case (u, s, t) => SeenDoc(u, s, t) }))
         // reclaim this key once the watermark passes its horizon
         state.setTimeoutTimestamp(math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
       }
-      Iterator.empty ++ out.result()
+      hits.iterator
     }
     keyed.groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
@@ -194,29 +219,23 @@ object StreamingExtract {
         state.remove()
         return Iterator.empty
       }
-      val sorted = batch.toSeq.sortBy(r => (r._2.getTime, r._1))
-      val entries = scala.collection.mutable.ArrayBuffer.from(
-        state.getOption.map(_.entries).getOrElse(Nil))
-      val out = Seq.newBuilder[MinhashHit]
-      sorted.foreach { case (url, ts, sig, _) =>
-        val t = ts.getTime
-        entries.iterator
-          .filter(e => e.url != url && math.abs(t - e.tsMillis) <= horizonMs)
-          .map(e => (e, agree(e.sig, sig)))
-          .find(_._2 >= threshold)
-          .foreach { case (e, j) =>
-            out += MinhashHit(url, e.url, math.rint(j * 10000) / 10000)
-          }
-        entries += SeenSig(url, sig, t)
-      }
-      val maxTs = if (entries.isEmpty) 0L else entries.iterator.map(_.tsMillis).max
-      val kept = entries.iterator.filter(_.tsMillis >= maxTs - horizonMs).toList
+      val (hits, kept, maxTs) = bucketStep[Array[Long], MinhashHit](
+        batch.map(r => (r._1, r._2, r._3)).toSeq,
+        state.getOption.map(_.entries.map(e => (e.url, e.sig, e.tsMillis))).getOrElse(Nil),
+        horizonMs, state.getCurrentWatermarkMs(),
+        (e, url, sig, t) => {
+          val j = if (e._1 != url && math.abs(t - e._3) <= horizonMs) agree(e._2, sig) else -1.0
+          // HALF_UP like the batch query's round(jaccard_r, 4) — n/128·10⁴
+          // hits exact .5 fractions whenever n % 8 == 4
+          if (j >= threshold) Some(MinhashHit(url, e._1, math.floor(j * 10000 + 0.5) / 10000))
+          else None
+        })
       if (kept.isEmpty) state.remove()
       else {
-        state.update(SigBucketState(kept))
+        state.update(SigBucketState(kept.map { case (u, s, t) => SeenSig(u, s, t) }))
         state.setTimeoutTimestamp(math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
       }
-      Iterator.empty ++ out.result()
+      hits.iterator
     }
     keyed.groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)

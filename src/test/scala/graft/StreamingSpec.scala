@@ -141,6 +141,38 @@ class StreamingSpec extends AnyFunSuite {
       s"expired state must not produce hits, got ${hits.mkString(",")}")
   }
 
+  test("streaming near-dup: late-but-above-watermark doc still matches entries a horizon-overshoot would have evicted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    // horizon 10 s but watermark lags 30 s: eviction may only look at the
+    // watermark, not at maxTs, or the late path below silently loses hits
+    val q = StreamingExtract.nearDedupStream(mem.toDF(), horizonMs = 10000L,
+        watermarkDelay = "30 seconds")(spark)
+      .writeStream.format("memory").queryName("neardup_late").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, text: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), Array.emptyByteArray, text, "en")
+    val t0 = "the quick brown fox jumps over the lazy dog " * 20
+    mem.addData(page("u://x", t0, 0))
+    q.processAllAvailable()
+    // lands in x's buckets 11 s later — outside the horizon (no match), but
+    // under maxTs-based eviction it would drop x's entry
+    mem.addData(page("u://y", t0.replaceFirst("quick", "rapid"), 11000))
+    q.processAllAvailable()
+    // late doc at t=8 s (above watermark = 11 s − 30 s): within x's horizon
+    mem.addData(page("u://z", t0.replaceFirst("lazy", "sleepy"), 8000))
+    q.processAllAvailable()
+    val hits = spark.sql("select url, dup_of from neardup_late").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    q.stop()
+    assert(hits.contains(("u://z", "u://x")),
+      s"late doc must still match the un-evictable entry, got ${hits.mkString(",")}")
+    assert(!hits.contains(("u://y", "u://x")), "11 s gap is outside the 10 s horizon")
+  }
+
   test("streaming minhash near-dup flags a near-identical re-crawl, estimate tracks Jaccard") {
     val s = spark
     import s.implicits._
