@@ -100,13 +100,24 @@ object ExtractionQueries {
       .orderBy(col("document_type"))
 
   /** Embedding generation over chunks (T10 surface): deterministic vector
-    * stats prove the envelope semantics (dim, zero-for-blank, L2 norm). */
+    * stats prove the envelope semantics (dim, zero-for-blank, L2 norm).
+    * sq-norm via a tight-loop UDF: `functions.aggregate` is
+    * CodegenFallback, and this runs over every chunk × 384 floats — same
+    * left-to-right double accumulation, bit-identical result. */
+  private val sqNormUdf = udf((emb: Seq[Float]) => {
+    var s = 0.0d
+    var i = 0
+    val n = emb.length
+    while (i < n) { val v = emb(i).toDouble; s += v * v; i += 1 }
+    s
+  })
+
   def xExtractEmbeddings(spark: SparkSession, dir: String): DataFrame =
     results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
       .select(explode(col("chunks")).as("chunk"))
       .select(
         size(col("chunk.embedding")).as("dim"),
-        round(aggregate(col("chunk.embedding"), lit(0.0d), (acc, v) => acc + v * v), 2).as("sq_norm_r"),
+        round(sqNormUdf(col("chunk.embedding")), 2).as("sq_norm_r"),
       )
       .groupBy(col("dim"), col("sq_norm_r"))
       .agg(count(lit(1)).as("n"))
