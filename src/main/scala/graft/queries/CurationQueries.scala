@@ -321,9 +321,54 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ----------------------------------------------------------- mix weights
+
+  /** Data-mixing weights (training-corpus composition): per source, the
+    * doc/token counts, the corpus token share, and the per-doc sampling
+    * weight that rebalances to a UNIFORM target mixture, capped at
+    * `maxEpochs` upsampling (the standard recipe shape — rare sources
+    * repeat at most a few epochs instead of being fully rebalanced).
+    *
+    * Scale shape: one partial-agg shuffle of (source, count, sum) — a
+    * handful of bytes per source — then a broadcast of the 1-row totals;
+    * the scan reads only (source, text). The weights drive a downstream
+    * weighted sampler (rand() < weight·p per row, map-only).
+    *
+    * Cross-engine doubles: both engines compute round(tok/tot, 6) and
+    * round(least(cap, (1/k)/(tok/tot)), 6) in the same IEEE operation
+    * order, so the hashes compare exactly. */
+  def qMixWeights(spark: SparkSession, dir: String, maxEpochs: Double = 4.0): DataFrame = {
+    val agg = docs(spark, dir)
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    val totals = agg.agg(sum(col("tok_sum")).as("tot_tok"), count(lit(1)).as("n_sources"))
+    agg.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("tok_sum"),
+        round(col("tok_sum") / col("tot_tok"), 6).as("share_r"),
+        round(least(lit(maxEpochs),
+          (lit(1.0) / col("n_sources")) / (col("tok_sum") / col("tot_tok"))), 6).as("weight_r"),
+      )
+      .orderBy(col("source"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "q_mix_weights" ->
+      """WITH t AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS tok_sum
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT sum(tok_sum)::BIGINT AS tot_tok, count(*) AS n_sources FROM t
+        |)
+        |SELECT source, n_docs, tok_sum,
+        |       round(tok_sum::DOUBLE / tot_tok::DOUBLE, 6) AS share_r,
+        |       round(least(4.0::DOUBLE, (1.0::DOUBLE / n_sources) / (tok_sum::DOUBLE / tot_tok::DOUBLE)), 6) AS weight_r
+        |FROM t, tot ORDER BY source""".stripMargin,
+
     "q_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -473,5 +518,6 @@ object CurationQueries {
     "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),
     "q_dedup_incr_bloom" -> ((s: SparkSession, d: String) => qDedupIncrBloom(s, d)),
     "q_dedup_segments" -> ((s: SparkSession, d: String) => qDedupSegments(s, d)),
+    "q_mix_weights" -> ((s: SparkSession, d: String) => qMixWeights(s, d)),
   )
 }

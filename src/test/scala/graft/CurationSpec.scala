@@ -160,4 +160,23 @@ class CurationSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mix weights: shares sum to 1, weights rebalance toward uniform under the epoch cap") {
+    val rows = CurationQueries.qMixWeights(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length > 1, "corpus has multiple sources")
+    val shares = rows.map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      val (share, w) = (r.getDouble(3), r.getDouble(4))
+      assert(w > 0.0 && w <= 4.0)
+      // uncapped weights satisfy w·share = 1/k (uniform target) exactly up
+      // to the 1e-6 rounding; capped ones sit at the 4-epoch ceiling
+      assert(w == 4.0 || math.abs(w * share - 1.0 / k) < 1e-4,
+        s"source=${r.getString(0)} share=$share w=$w")
+    }
+    // the scarcest source gets the largest weight
+    val byShare = rows.sortBy(_.getDouble(3))
+    assert(byShare.head.getDouble(4) == rows.map(_.getDouble(4)).max)
+  }
 }
