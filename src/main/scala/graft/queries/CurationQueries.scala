@@ -353,9 +353,35 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  // ----------------------------------------------------------- domain cap
+
+  /** Per-domain capping: keep at most `cap` docs per source, best-first
+    * (longest text, doc_id tiebreak) — the Common-Crawl-pipeline stage
+    * that stops any single domain from dominating the corpus. One window
+    * shuffle on source; at 100 TB the rank key would be the quality score
+    * and hot domains would pre-aggregate a per-partition top-cap before
+    * the shuffle (ORDER BY LIMIT pushdown shape) — at the corpus's
+    * source cardinality the plain window is the right plan. */
+  def qDomainCap(spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= cap)
+      .orderBy(col("source"), col("rnk"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "q_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rnk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents
+        |) WHERE rnk <= 15 ORDER BY source, rnk""".stripMargin,
+
     "q_mix_weights" ->
       """WITH t AS (
         |  SELECT source, count(*) AS n_docs,
@@ -519,5 +545,6 @@ object CurationQueries {
     "q_dedup_incr_bloom" -> ((s: SparkSession, d: String) => qDedupIncrBloom(s, d)),
     "q_dedup_segments" -> ((s: SparkSession, d: String) => qDedupSegments(s, d)),
     "q_mix_weights" -> ((s: SparkSession, d: String) => qMixWeights(s, d)),
+    "q_domain_cap" -> ((s: SparkSession, d: String) => qDomainCap(s, d)),
   )
 }

@@ -179,4 +179,17 @@ class CurationSpec extends AnyFunSuite {
     val byShare = rows.sortBy(_.getDouble(3))
     assert(byShare.head.getDouble(4) == rows.map(_.getDouble(4)).max)
   }
+
+  test("domain cap: at most 15 per source, best-first, ranks dense from 1") {
+    val rows = CurationQueries.qDomainCap(spark, "/root/testdata/sf0.001").collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    assert(bySrc.nonEmpty)
+    bySrc.values.foreach { rs =>
+      assert(rs.length <= 15)
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length))
+      // within a source, rank order follows n_chars descending
+      assert(sorted.map(_.getLong(2)).toSeq == sorted.map(_.getLong(2)).sortBy(-_).toSeq)
+    }
+  }
 }
