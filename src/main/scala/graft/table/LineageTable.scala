@@ -90,9 +90,25 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     id
   }
 
+  /** Snapshot ids present in the manifest dir, ascending — the
+    * `snapshots` metadata-table analog; expired ids are gone. */
+  def snapshotIds: Seq[Long] = {
+    val mdir = p("_manifests")
+    if (!Files.isDirectory(mdir)) Nil
+    else scala.util.Using.resource(Files.list(mdir)) { s =>
+      s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case n if n.startsWith("snapshot-") && n.endsWith(".json") =>
+          n.stripPrefix("snapshot-").stripSuffix(".json").toLong
+        }.toVector.sorted
+    }
+  }
+
+  private def dataDirsOf(id: Long): Seq[String] =
+    snapshot(id)("data_dirs").asInstanceOf[List[Any]].map(String.valueOf)
+
   /** Data dirs of the current snapshot (empty when table has no commit). */
   def currentDataDirs: Seq[String] =
-    currentSnapshotId.map(id => snapshot(id)("data_dirs").asInstanceOf[List[Any]].map(String.valueOf)).getOrElse(Nil)
+    currentSnapshotId.map(dataDirsOf).getOrElse(Nil)
 
   def currentLineageDirs: Seq[String] =
     currentSnapshotId.map(id => snapshot(id)("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)).getOrElse(Nil)
@@ -112,8 +128,33 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   def read(spark: SparkSession): DataFrame = {
     val dirs = currentDataDirs
     require(dirs.nonEmpty, s"table $root has no committed snapshot")
+    readDirs(spark, dirs, s"snapshot of $root")
+  }
+
+  /** Time travel (Iceberg `VERSION AS OF` analog): read the data of a PAST
+    * snapshot. Sound because commits never mutate committed files — a new
+    * snapshot only references new dirs — so an old manifest's file set is
+    * immutable for as long as [[expireSnapshots]] retains it; an expired id
+    * raises (its manifest is deleted with its unreferenced dirs). */
+  def readAt(spark: SparkSession, id: Long): DataFrame = {
+    require(Files.exists(p("_manifests", s"snapshot-$id.json")),
+      s"snapshot $id of $root does not exist (never committed, or expired)")
+    readDirs(spark, dataDirsOf(id), s"snapshot $id of $root")
+  }
+
+  /** Roll CURRENT back to a retained earlier snapshot (Iceberg
+    * rollback_to_snapshot analog): one atomic pointer write; later
+    * snapshots stay on disk until [[expireSnapshots]] and can be
+    * rolled forward to the same way. */
+  def rollbackTo(id: Long): Unit = {
+    require(Files.exists(p("_manifests", s"snapshot-$id.json")),
+      s"cannot roll back to snapshot $id of $root: not retained")
+    atomicWrite(p("_manifests", "CURRENT"), id.toString)
+  }
+
+  private def readDirs(spark: SparkSession, dirs: Seq[String], what: String): DataFrame = {
     val nonEmpty = dirs.filter(hasParquet)
-    require(nonEmpty.nonEmpty, s"snapshot of $root contains no data files")
+    require(nonEmpty.nonEmpty, s"$what contains no data files")
     // one scan per wave dir (each with its own _bucket= partition discovery),
     // unioned — partition pruning applies per branch; a shared catalog table
     // would replace this at real-cluster scale
@@ -216,11 +257,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     val mdir = p("_manifests")
     if (!Files.isDirectory(mdir)) return 0
     val cur = currentSnapshotId.getOrElse(return 0)
-    val all = Files.list(mdir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
-      }.toVector.sorted
+    val all = snapshotIds
     val (keep, drop) = all.partition { id =>
       id == cur || {
         val ts = snapshot(id).get("committed_at_ms").map(v => String.valueOf(v).toDouble.toLong).getOrElse(0L)

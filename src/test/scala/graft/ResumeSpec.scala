@@ -153,6 +153,35 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.read(spark).count() == before - 1)
   }
 
+  test("time travel: readAt serves past snapshots, rollback is an atomic pointer write") {
+    val root = freshRoot()
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "tt1", numBuckets = 8, bucketsPerWave = 8))
+    val table = new LineageTable(root, 8)
+    val n1 = table.read(spark).count()
+    // second run commits a superseding snapshot; tombstone under it too
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "tt2", numBuckets = 8, bucketsPerWave = 8))
+    table.compact(spark)
+    assert(table.snapshotIds == Seq(1L, 2L, 3L))
+
+    // VERSION AS OF: snapshot 1 = run tt1's own dirs, regardless of CURRENT
+    val at1 = table.readAt(spark, 1L)
+    assert(at1.count() == n1)
+    assert(at1.select("task_id").head().getString(0).nonEmpty)
+    // rollback then roll forward — both just move the pointer
+    table.rollbackTo(1L)
+    assert(table.currentSnapshotId.contains(1L))
+    assert(table.read(spark).count() == n1)
+    table.rollbackTo(3L)
+    assert(table.read(spark).count() == n1)
+
+    // expiry deletes the unreferenced past; time travel then raises clearly
+    table.expireSnapshots(ttlMs = 0L, nowMs = System.currentTimeMillis() + 1000000L)
+    val ex = intercept[IllegalArgumentException](table.readAt(spark, 1L))
+    assert(ex.getMessage.contains("expired"))
+    val ex2 = intercept[IllegalArgumentException](table.rollbackTo(1L))
+    assert(ex2.getMessage.contains("not retained"))
+  }
+
   test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
     val root = freshRoot()
     val cfgA = ExtractJob.Config(root, runId = "old", numBuckets = 8, bucketsPerWave = 8)
