@@ -682,34 +682,45 @@ object TrainingDataQueries {
     * duplicate-2-gram fraction ≤ 0.10 (Gopher's dup-n-gram family —
     * Rae et al. use 0.20 on real text; tightened so the rule has signal
     * on this low-repetition synthetic corpus). */
-  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(trim(col("text")), "\\s+")
+  /** The quality-signal columns over a text column (shared by
+    * [[qCorpusFilter]] and the streaming curation pipeline so the two
+    * surfaces can never drift). */
+  def qualitySignalCols(textCol: String): Seq[Column] = {
+    val t = col(textCol)
+    val words = split(trim(t), "\\s+")
     // NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — the
     // <2-words case is guarded at the use site, never evaluated here
     val bigrams = expr(
-      "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), " +
-        "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', element_at(split(trim(text), '\\\\s+'), i + 1)))")
-    val d = docs(spark, dir).select(
-      col("doc_id"),
+      s"transform(sequence(1, size(split(trim($textCol), '\\\\s+')) - 1), " +
+        s"i -> concat(element_at(split(trim($textCol), '\\\\s+'), i), ' ', element_at(split(trim($textCol), '\\\\s+'), i + 1)))")
+    Seq(
       size(words).as("n_words"),
-      round(length(regexp_replace(col("text"), "\\s+", "")).cast("double") / size(words), 4).as("mean_word_len_r"),
-      round(length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("double") /
-        greatest(length(col("text")), lit(1)), 4).as("symbol_ratio_r"),
+      round(length(regexp_replace(t, "\\s+", "")).cast("double") / size(words), 4).as("mean_word_len_r"),
+      round(length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double") /
+        greatest(length(t), lit(1)), 4).as("symbol_ratio_r"),
       round(lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 4).as("word_rep_r"),
       when(size(words) < 2, lit(0.0))
         .otherwise(round(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams), 4))
         .as("dup_bigram_r"),
     )
-    d.withColumn("drop_reason",
-        when(col("n_words") < 20 || col("n_words") > 100000, "word_count")
-          .when(col("mean_word_len_r") < 3.0 || col("mean_word_len_r") > 12.0, "mean_word_len")
-          .when(col("symbol_ratio_r") >= 0.10, "symbol_ratio")
-          .when(col("word_rep_r") > 0.60, "repetition")
-          .when(col("dup_bigram_r") > 0.10, "bigram_rep")
-          .otherwise(null))
+  }
+
+  /** FIRST failing rule as the reason (null = keep); expects the
+    * [[qualitySignalCols]] names in scope. */
+  def qualityDropReason: Column =
+    when(col("n_words") < 20 || col("n_words") > 100000, "word_count")
+      .when(col("mean_word_len_r") < 3.0 || col("mean_word_len_r") > 12.0, "mean_word_len")
+      .when(col("symbol_ratio_r") >= 0.10, "symbol_ratio")
+      .when(col("word_rep_r") > 0.60, "repetition")
+      .when(col("dup_bigram_r") > 0.10, "bigram_rep")
+      .otherwise(null)
+
+  def qCorpusFilter(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id") +: qualitySignalCols("text"): _*)
+      .withColumn("drop_reason", qualityDropReason)
       .withColumn("keep", col("drop_reason").isNull)
       .orderBy(col("doc_id"))
-  }
 
   /** Language ID: stopword/charset heuristic profile scoring, reproduced by
     * the DuckDB oracle (first-in-order argmax; 'und' below 0.01). Output is

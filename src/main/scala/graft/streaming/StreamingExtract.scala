@@ -241,6 +241,43 @@ object StreamingExtract extends Serializable {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** End-to-end streaming CURATION pipeline — the composed continuous
+    * analog of the batch chain (extract → quality filter → exact dedup):
+    * a pages stream runs through the extraction kernel, keeps completed
+    * non-empty rows, applies the Gopher/C4-style quality rules on the
+    * EXTRACTED content (the exact [[graft.queries.TrainingDataQueries
+    * .qualitySignalCols]] signals and thresholds as batch qCorpusFilter —
+    * shared code, cannot drift), then first-crawl-wins exact dedup on the
+    * content digest inside the stream (watermark-bounded state, as
+    * [[dedupStream]]). Output = the curated training-ready envelope with
+    * its quality signals.
+    *
+    * Near-dup filtering deliberately stays a PARALLEL query
+    * ([[nearDedupStream]]/[[minhashDedupStream]] hit streams; consumers
+    * anti-join on url): chaining a second stateful operator downstream of
+    * an append-mode stateful operator would hold every row until the
+    * first operator's watermark closes — a full extra watermark delay of
+    * latency for no correctness gain.
+    *
+    * Scale: every stage is map-side (kernel + quality rules are per-row,
+    * fully codegen'd) except the dedup state — one digest per distinct
+    * content inside the horizon. */
+  def curationStream(
+      pages: Dataset[Page],
+      options: ConversionOptions = ConversionOptions(),
+      watermark: String = "1 hour",
+  )(implicit spark: SparkSession): DataFrame = {
+    import graft.queries.TrainingDataQueries.{qualityDropReason, qualitySignalCols}
+    ExtractKernel.extract(pages, options)(spark)
+      .where(col("status") === "completed" && length(col("content")) > 0)
+      .select(Seq(col("url"), col("warc_ts"), col("document_type"), col("content")) ++
+        qualitySignalCols("content"): _*)
+      .where(qualityDropReason.isNull)
+      .withColumn("content_md5", md5(col("content")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicates("content_md5")
+  }
+
   /** Watermarked sliding-window stats over a streaming events source —
     * the continuous analog of qAggStats (O5). */
   def eventsWindowedCounts(events: DataFrame, watermark: String = "10 minutes",

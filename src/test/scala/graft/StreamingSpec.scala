@@ -86,6 +86,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 3)
   }
 
+  test("streaming curation pipeline: extract -> quality filter -> in-stream exact dedup") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.curationStream(mem.toDS())
+      .select("url", "n_words", "document_type")
+      .writeStream.format("memory").queryName("curated").outputMode("append").start()
+    val base = 1735689600000L
+    val goodHtml =
+      "<html><body><p>" + (1 to 60).map(i => s"alpha$i").mkString(" ") + "</p></body></html>"
+    def page(url: String, html: String, ms: Long) =
+      graft.model.Page(url, new java.sql.Timestamp(base + ms), html.getBytes("UTF-8"), "", "en")
+    mem.addData(
+      page("u://good", goodHtml, 0),
+      page("u://junk", "<html><body><p>hi</p></body></html>", 1000), // 1 word -> word_count drop
+    )
+    q.processAllAvailable()
+    // byte-identical re-crawl in a later batch -> deduped in-stream
+    mem.addData(page("u://dup", goodHtml, 2000))
+    q.processAllAvailable()
+    val rows = spark.sql("select url, n_words, document_type from curated").collect()
+    q.stop()
+    assert(rows.map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq(("u://good", 60, "html")), s"got ${rows.mkString(",")}")
+  }
+
   test("streaming near-dup: simhash-close re-crawl flagged across batches, state bounded") {
     val s = spark
     import s.implicits._
