@@ -671,17 +671,6 @@ object TrainingDataQueries {
       )
       .orderBy(col("doc_id"))
 
-  /** C4/Gopher-style corpus quality filter (Raffel et al. 2020 §2.2 /
-    * Rae et al. 2021 appendix A-ish rule families, re-expressed over this
-    * corpus's scale): per-doc signals + keep/drop with the FIRST failing
-    * rule as the reason. Pure per-row SQL functions — no shuffle, fully
-    * codegen'd, linear at 10^12 docs — and every signal/rule is
-    * reproduced by the DuckDB oracle.
-    * Rules: word count in [20, 100000]; mean word length in [3, 12];
-    * symbol ratio < 0.10; word-repetition (1 − distinct/total) ≤ 0.60;
-    * duplicate-2-gram fraction ≤ 0.10 (Gopher's dup-n-gram family —
-    * Rae et al. use 0.20 on real text; tightened so the rule has signal
-    * on this low-repetition synthetic corpus). */
   /** The quality-signal columns over a text column (shared by
     * [[qCorpusFilter]] and the streaming curation pipeline so the two
     * surfaces can never drift). */
@@ -715,6 +704,17 @@ object TrainingDataQueries {
       .when(col("dup_bigram_r") > 0.10, "bigram_rep")
       .otherwise(null)
 
+  /** C4/Gopher-style corpus quality filter (Raffel et al. 2020 §2.2 /
+    * Rae et al. 2021 appendix A-ish rule families, re-expressed over this
+    * corpus's scale): per-doc signals + keep/drop with the FIRST failing
+    * rule as the reason. Pure per-row SQL functions — no shuffle, fully
+    * codegen'd, linear at 10^12 docs — and every signal/rule is
+    * reproduced by the DuckDB oracle.
+    * Rules: word count in [20, 100000]; mean word length in [3, 12];
+    * symbol ratio < 0.10; word-repetition (1 − distinct/total) ≤ 0.60;
+    * duplicate-2-gram fraction ≤ 0.10 (Gopher's dup-n-gram family —
+    * Rae et al. use 0.20 on real text; tightened so the rule has signal
+    * on this low-repetition synthetic corpus). */
   def qCorpusFilter(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id") +: qualitySignalCols("text"): _*)

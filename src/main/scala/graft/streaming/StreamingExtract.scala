@@ -59,13 +59,22 @@ object StreamingExtract extends Serializable {
     * qDedupExact). State = one md5 per seen content; the watermark bounds
     * it — state for hashes older than the watermark horizon is evicted, so
     * at 100 TB the dedup state holds only the horizon's hashes (16 bytes ×
-    * arrivals/horizon), not the corpus. Exactly the Structured Streaming
-    * `dropDuplicates`-with-watermark recipe, keyed on a derived column. */
+    * arrivals/horizon), not the corpus. */
   def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
-    pages
-      .withColumn("text_md5", md5(col("text")))
+    dedupByDigest(pages, "text_md5", md5(col("text")), watermark)
+
+  /** The shared digest-dedup stage ([[dedupStream]] + [[curationStream]]).
+    * MUST be dropDuplicatesWithinWatermark, not dropDuplicates: the plain
+    * variant only evicts state when the event-time column is part of the
+    * dedup KEY — keyed on the digest alone it keeps one entry per distinct
+    * content forever (state-store blowup on a continuous crawl, and
+    * post-horizon re-crawls stay dropped against the documented
+    * first-crawl-wins-within-horizon semantics). */
+  private def dedupByDigest(df: DataFrame, digestName: String, digest: org.apache.spark.sql.Column,
+                            watermark: String): DataFrame =
+    df.withColumn(digestName, digest)
       .withWatermark("warc_ts", watermark)
-      .dropDuplicates("text_md5")
+      .dropDuplicatesWithinWatermark(digestName)
 
   final case class NearDupHit(url: String, dup_of: String, hamming: Int)
   final case class SeenDoc(url: String, sim: Long, tsMillis: Long)
@@ -268,14 +277,12 @@ object StreamingExtract extends Serializable {
       watermark: String = "1 hour",
   )(implicit spark: SparkSession): DataFrame = {
     import graft.queries.TrainingDataQueries.{qualityDropReason, qualitySignalCols}
-    ExtractKernel.extract(pages, options)(spark)
+    val scored = ExtractKernel.extract(pages, options)(spark)
       .where(col("status") === "completed" && length(col("content")) > 0)
       .select(Seq(col("url"), col("warc_ts"), col("document_type"), col("content")) ++
         qualitySignalCols("content"): _*)
       .where(qualityDropReason.isNull)
-      .withColumn("content_md5", md5(col("content")))
-      .withWatermark("warc_ts", watermark)
-      .dropDuplicates("content_md5")
+    dedupByDigest(scored, "content_md5", md5(col("content")), watermark)
   }
 
   /** Watermarked sliding-window stats over a streaming events source —

@@ -76,7 +76,11 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   def commitSnapshot(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String,
                      extra: Map[String, Any] = Map.empty): Long = {
     Files.createDirectories(p("_manifests"))
-    val id = currentSnapshotId.getOrElse(0L) + 1L
+    // max over ALL retained manifests, not CURRENT+1: after rollbackTo,
+    // CURRENT can sit below retained later snapshots, and CURRENT+1 would
+    // silently overwrite one of their manifests (orphaning its data dirs
+    // forever — expireSnapshots could never find them again)
+    val id = snapshotIds.lastOption.getOrElse(0L) + 1L
     val manifest: Map[String, Any] = Map(
       "snapshot_id" -> id,
       "run_id" -> runId,

@@ -182,6 +182,22 @@ class ResumeSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("not retained"))
   }
 
+  test("commit after rollback allocates past retained snapshots, never overwriting them") {
+    val root = freshRoot()
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "ra", numBuckets = 8, bucketsPerWave = 8))
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "rb", numBuckets = 8, bucketsPerWave = 8))
+    val table = new LineageTable(root, 8)
+    val n2 = table.readAt(spark, 2L).count()
+    table.rollbackTo(1L)
+    // id must come from max(snapshotIds)+1, not CURRENT+1 — CURRENT+1
+    // would overwrite snapshot-2.json and orphan rb's data dirs forever
+    val report = ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "rc", numBuckets = 8, bucketsPerWave = 8))
+    assert(report.snapshotId == 3L, s"got ${report.snapshotId}")
+    assert(table.snapshotIds == Seq(1L, 2L, 3L))
+    assert(table.readAt(spark, 2L).count() == n2, "snapshot 2 must be untouched")
+    assert(table.snapshot(2L)("run_id") == "rb")
+  }
+
   test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
     val root = freshRoot()
     val cfgA = ExtractJob.Config(root, runId = "old", numBuckets = 8, bucketsPerWave = 8)

@@ -86,6 +86,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).distinct.length == 3)
   }
 
+  test("streaming exact dedup: state is horizon-bounded — post-watermark re-crawl re-admitted") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.dedupStream(mem.toDF(), watermark = "1 second")
+      .select("url")
+      .writeStream.format("memory").queryName("dedup_horizon").outputMode("append").start()
+    val p0 = CorpusGen.pageFor(0L)
+    // all event times anchored to p0's crawl ts (pageFor(i) timestamps
+    // vary per page and could leave the watermark behind p0 otherwise)
+    def at(p: graft.model.Page, url: String, ms: Long) =
+      p.copy(url = url, warc_ts = new java.sql.Timestamp(p0.warc_ts.getTime + ms))
+    mem.addData(p0)
+    q.processAllAvailable()
+    // unrelated far-future traffic advances the watermark past p0's digest
+    mem.addData(at(CorpusGen.pageFor(1L), CorpusGen.pageFor(1L).url, 300000))
+    q.processAllAvailable()
+    // one more batch: eviction executes at commit with the advanced
+    // watermark (state cleanup lags the watermark by a batch)
+    mem.addData(at(CorpusGen.pageFor(2L), CorpusGen.pageFor(2L).url, 600000))
+    q.processAllAvailable()
+    // identical content re-crawled long after the horizon: state for its
+    // digest was evicted (dropDuplicatesWithinWatermark), so it re-emits —
+    // plain dropDuplicates would keep the digest forever (unbounded state)
+    mem.addData(at(p0, "u://recrawl", 601000))
+    q.processAllAvailable()
+    val urls = spark.sql("select url from dedup_horizon").collect().map(_.getString(0))
+    q.stop()
+    assert(urls.count(_ == "u://recrawl") == 1, s"got ${urls.mkString(",")}")
+    assert(urls.length == 4)
+  }
+
   test("streaming curation pipeline: extract -> quality filter -> in-stream exact dedup") {
     val s = spark
     import s.implicits._
