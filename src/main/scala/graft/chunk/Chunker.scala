@@ -72,7 +72,9 @@ object Chunker {
   def chunkId(taskId: String, index: Int): String = {
     // %04d only pads non-negatives the same way; make the T8
     // reference-exact invariant self-checking instead of silently deviating
-    assert(index >= 0, s"chunk index must be non-negative, got $index")
+    // (require, not assert: assert is elidable via -Xelide-below, and an
+    // elided guard would silently emit non-%04d ids)
+    require(index >= 0, s"chunk index must be non-negative, got $index")
     val sb = new java.lang.StringBuilder(taskId.length + 11)
     sb.append(taskId).append("_chunk_")
     if (index < 1000) sb.append('0')

@@ -95,8 +95,36 @@ object ExtractJob {
     val stageDir = s"${cfg.root}/_stage/${cfg.runId}"
     val bucketed: DataFrame =
       if (cfg.stageInput && waves.length > 1) {
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS")))
+        // A runId pins its staged INPUT DATA immutably by design: completed
+        // buckets were extracted from the staged snapshot, so a resume must
+        // not silently mix a drifted live input mid-run. But a resume whose
+        // CONFIG disagrees with the staging (bucket count, dedup mode,
+        // schema) would make the done-markers and partition layout lies —
+        // fail loudly instead of extracting from a mismatched staging.
+        val fpFile = java.nio.file.Paths.get(stageDir, "_FINGERPRINT.json")
+        val fp: Map[String, Any] = Map(
+          "num_buckets" -> cfg.numBuckets,
+          "dedup" -> cfg.dedup.toString,
+          "schema" -> withBucket.schema.catalogString,
+        )
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS"))) {
           withBucket.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stageDir)
+          java.nio.file.Files.write(fpFile, graft.core.Json.write(fp).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        } else {
+          val staged =
+            if (java.nio.file.Files.exists(fpFile))
+              graft.core.Json.parse(new String(java.nio.file.Files.readAllBytes(fpFile), java.nio.charset.StandardCharsets.UTF_8))
+                .asInstanceOf[Map[String, Any]]
+            else Map.empty[String, Any]
+          // a staging without a fingerprint (pre-fingerprint layout) is
+          // accepted as-is — it can only be verified going forward
+          val same = staged.isEmpty ||
+            fp.forall { case (k, v) => staged.get(k).map(String.valueOf).contains(String.valueOf(v)) }
+          require(same,
+            s"resume of runId '${cfg.runId}' does not match its staged input at $stageDir " +
+              s"(staged $staged vs requested $fp); use a new runId (or delete the stage dir) " +
+              "to run with a different configuration")
+        }
         // explicit schema: an empty input writes only _SUCCESS and schema
         // inference would throw; _bucket stays a partition column -> pruned
         spark.read.schema(withBucket.schema).parquet(stageDir)

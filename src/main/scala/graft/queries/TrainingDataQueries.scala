@@ -323,40 +323,70 @@ object TrainingDataQueries {
     * codegen/AQE; this loop is the standard DataFrame CC recipe
     * (hash-to-min family, Kiveris et al., "Connected Components in
     * MapReduce and Beyond"). */
-  def connectedComponents(edgesIn: DataFrame): DataFrame = {
-    val pairs = edgesIn.toDF("u", "v")
-    val edges = pairs
-      .union(pairs.select(col("v"), col("u")))
-      .dropDuplicates("u", "v")
-      .localCheckpoint(true)
+  /** Eager checkpoint with cluster-grade durability when available:
+    * `localCheckpoint` blocks are executor-local and NON-replicated — on a
+    * real cluster, one lost executor mid-iteration kills the job
+    * unrecoverably (lineage truncated, no recompute path). When the session
+    * has a reliable checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`, HDFS/object store on a cluster),
+    * use `checkpoint()` against it; fall back to localCheckpoint for
+    * local/test sessions where re-running the whole job is cheap. */
+  private def eagerCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+  def connectedComponents(edgesIn: DataFrame, maxRounds: Int = 48): DataFrame = {
+    val pairs = edgesIn.toDF("u", "v")
+    val edges = eagerCheckpoint(
+      pairs
+        .union(pairs.select(col("v"), col("u")))
+        .dropDuplicates("u", "v"))
+
+    var labels = eagerCheckpoint(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 48) {
+    while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("node").as("v"), col("label").as("vl")), "v")
         .groupBy(col("u").as("node")).agg(min(col("vl")).as("nbr"))
       val jump = labels.select(col("node").as("label"), col("label").as("jl"))
-      // ONE eager checkpoint per round: `labels` is a pure projection over
-      // the checkpointed `next`, so the plan stays flat (Project over
-      // LogicalRDD) without materializing the 16-byte rows twice.
-      // Superseded rounds' checkpoint blocks are reclaimed by the
-      // ContextCleaner; their transient footprint is rounds × |labels| ×
-      // 16 B + old/new-label overhead — per-node labels, not corpus data.
-      val next = labels
+      val step = labels
         .join(nbrMin, Seq("node"), "left")
         .join(jump, Seq("label"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nbr"), col("label")),
-            coalesce(col("jl"), col("label"))).as("next_label"))
-        .localCheckpoint(true)
+            coalesce(col("jl"), col("label"))).as("l1"))
+      // SECOND pointer-jump inside the round (l2 = l1's own l1): min-label
+      // propagation is monotone — labels only ever decrease, always to an
+      // id inside the same component — so compressing twice per round is
+      // safe, halves the round count (and with it the per-round
+      // checkpoint + fixpoint-count + codegen events that dominate
+      // cold-start; SURVEY §10.4), and converges to the same per-component
+      // minimum fixpoint.
+      val m2 = step.select(col("node").as("j2k"), col("l1").as("jl2"))
+      // ONE eager checkpoint per round: `labels` is a pure projection over
+      // the checkpointed `next`, so the plan stays flat (Project over
+      // the checkpoint scan) without materializing the 16-byte rows twice.
+      // Superseded rounds' blocks are reclaimed by the ContextCleaner;
+      // their transient footprint is rounds × |labels| × 16 B — per-node
+      // labels, not corpus data.
+      val next = eagerCheckpoint(
+        step.join(m2, step("l1") === m2("j2k"), "left")
+          .select(col("node"), col("label"),
+            least(col("l1"), coalesce(col("jl2"), col("l1"))).as("next_label")))
       changed = next.where(col("next_label") =!= col("label")).count()
       labels = next.select(col("node"), col("next_label").as("label"))
       rounds += 1
     }
+    // 48 doubled-jump rounds resolve any diameter < 2^48 — unreachable in
+    // practice, but if a pathological input ever exits unconverged the
+    // labels would silently disagree with the transitive-closure oracle:
+    // fail loudly instead.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $rounds rounds ($changed labels still changing)")
     labels
   }
 
@@ -520,7 +550,8 @@ object TrainingDataQueries {
     * rides the same single collect job. */
   /** IVF ANN: inverted lists from a coarse quantizer, probe the `nProbe`
     * nearest lists. The default quantizer is a hash-selected MEDOID set
-    * (vectors whose md5(vec_id) ≡ 0 mod 31, ≈ n/31 lists) with argmax-
+    * (vectors whose md5(vec_id) ≡ 0 mod [[medoidModulus]](n) — a BOUNDED
+    * ≤ ~8k list count at any corpus size) with argmax-
     * quantized-cosine assignment (ties → smaller medoid id) — fully
     * DuckDB-reproducible, so the oracle re-runs the ENTIRE pipeline:
     * assignment, probe-list selection, candidate scan, top-k.
@@ -531,6 +562,15 @@ object TrainingDataQueries {
     * Scale: the quantizer is driver-collected (≤ thousands of centroids)
     * and broadcast; assignment is map-only over the scan; the probe reads
     * ~nProbe/nLists of the corpus. */
+  /** md5 medoid-selection modulus for [[qAnnIvf]]: max(31, n/4096) bounds
+    * the expected medoid count at n/mod ≤ ~8191 for ANY corpus size (for
+    * n ≥ 31·4096 the ratio n/(n/4096) sits in [4096, 8191) because floor
+    * division at most halves the quotient's effect; below that, n/31 < 4096
+    * anyway). Keep in lockstep with the `greatest(31, count(*) // 4096)`
+    * term in the q_ann_ivf oracle SQL. */
+  private[graft] def medoidModulus(total: Long): Long =
+    math.max(31L, total / 4096L)
+
   def qAnnIvf(spark: SparkSession, dir: String, k: Int = 10, nProbe: Int = 2,
       useKmeans: Boolean = false, nList: Int = 16): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
@@ -558,8 +598,19 @@ object TrainingDataQueries {
         .limit(k)
         .orderBy(col("vec_id"))
     } else {
+      // Bounded medoid selection: the md5 modulus SCALES with corpus size so
+      // the driver collect is a fixed list count, not a corpus fraction.
+      // mod = max(31, n/4096) ⇒ expected medoids = n/mod ≤ max(n/31 for
+      // tiny n, ~4096-8191) — at n = 10⁹ vectors mod ≈ 244k and the collect
+      // is ~4-8k rows regardless of n. (The previous fixed mod-31 collected
+      // ~n/31 of the corpus: OOM-by-construction at web scale.) Still
+      // md5-derived, so the DuckDB oracle reproduces the selection with the
+      // same greatest(31, count(*)//4096) formula; at every test sf
+      // (n ≤ 2000) mod stays 31, keeping historical oracle outputs.
+      val total = e.count() // parquet count-star: row-group metadata, no scan
+      val mod = medoidModulus(total)
       def isMedoidId(id: Long): Boolean =
-        java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), 31L) == 0L
+        java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), mod) == 0L
       // ONE job fetches the medoid set AND the probe vector
       val medoidUdf = udf((id: Long) => isMedoidId(id))
       val fetched = e.where(col("vec_id") === 0 || medoidUdf(col("vec_id"))).collect()
@@ -983,7 +1034,8 @@ object TrainingDataQueries {
       s"""WITH $QvCte,
          |cents AS (
          |  SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM qn
-         |  WHERE md5_number_lower(vec_id::VARCHAR) % 31 = 0
+         |  WHERE md5_number_lower(vec_id::VARCHAR)
+         |        % (SELECT greatest(31, count(*) // 4096)::UBIGINT FROM embeddings) = 0
          |), asg AS (
          |  SELECT vec_id, c_id,
          |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, c_id) AS rn

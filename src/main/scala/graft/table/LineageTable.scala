@@ -76,11 +76,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   def commitSnapshot(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String,
                      extra: Map[String, Any] = Map.empty): Long = {
     Files.createDirectories(p("_manifests"))
-    // max over ALL retained manifests, not CURRENT+1: after rollbackTo,
-    // CURRENT can sit below retained later snapshots, and CURRENT+1 would
-    // silently overwrite one of their manifests (orphaning its data dirs
-    // forever — expireSnapshots could never find them again)
-    val id = snapshotIds.lastOption.getOrElse(0L) + 1L
+    val id = nextSnapshotId
     val manifest: Map[String, Any] = Map(
       "snapshot_id" -> id,
       "run_id" -> runId,
@@ -93,6 +89,16 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
     id
   }
+
+  /** Next id to allocate: max over ALL retained manifests + 1, not
+    * CURRENT+1. After rollbackTo, CURRENT can sit below retained later
+    * snapshots; CURRENT+1 would silently overwrite one of their manifests
+    * (orphaning its data dirs forever — expireSnapshots could never find
+    * them again). compact() uses the SAME allocator for its dir names so a
+    * rollback-then-compact sequence can never reuse an earlier compaction's
+    * runId and Overwrite a data dir a retained snapshot still references
+    * (single-writer model, as everywhere in this layer). */
+  private[table] def nextSnapshotId: Long = snapshotIds.lastOption.getOrElse(0L) + 1L
 
   /** Snapshot ids present in the manifest dir, ascending — the
     * `snapshots` metadata-table analog; expired ids are gone. */
@@ -220,7 +226,11 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     // capture the tombstone set BEFORE the rewrite: a deleteTask() landing
     // mid-compaction must survive the post-commit tombstone rewrite below
     val applied = tombstones
-    val newId = currentSnapshotId.getOrElse(0L) + 1L
+    // nextSnapshotId (max retained + 1), NOT currentSnapshotId + 1: after a
+    // rollbackTo, the latter reuses an id of a retained later snapshot and
+    // the Overwrite below would destroy a data dir that snapshot still
+    // references, breaking readAt immutability
+    val newId = nextSnapshotId
     val runId = s"$label-$newId"
     val dataDir = s"$root/data/$runId"
     val lineageDir = s"$root/lineage/$runId"

@@ -27,6 +27,23 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(a.nonEmpty && !a.map(_.getLong(0)).contains(0L))
   }
 
+  test("medoid-selection modulus bounds the driver collect at any corpus size") {
+    // expected medoid count = n/mod; must stay bounded from 10× the sf0.1
+    // embeddings corpus all the way to web scale (10^12 vectors)
+    for (n <- Seq(20000L, 2000000L, 1000000000L, 1000000000000L)) {
+      val mod = TrainingDataQueries.medoidModulus(n)
+      val expected = n.toDouble / mod
+      assert(expected <= 8192.0, s"n=$n mod=$mod expected=$expected")
+    }
+    // exact count at 10× the sf0.1 corpus: enumerate the very predicate the
+    // driver collect uses (md5(vec_id) % medoidModulus(n) == 0)
+    val n = 20000L
+    val mod = TrainingDataQueries.medoidModulus(n)
+    val count = (0L until n).count(id =>
+      java.lang.Long.remainderUnsigned(graft.core.DuckHash.md5NumberLower(id.toString), mod) == 0L)
+    assert(count > 0 && count <= 8192, s"actual medoids at n=$n: $count")
+  }
+
   test("raising nProbe widens (or keeps) the candidate pool's best score") {
     def best(nProbe: Int): Double = {
       val rows = TrainingDataQueries.qAnnIvf(spark, sf, nProbe = nProbe).collect()

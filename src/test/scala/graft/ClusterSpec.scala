@@ -48,6 +48,43 @@ class ClusterSpec extends AnyFunSuite {
       s"expected a checkpointed-RDD scan, got a $planLines-line plan:\n${labels.queryExecution.logical.treeString}")
   }
 
+  test("reliable checkpoint dir, when configured, yields identical labels") {
+    // On a cluster, localCheckpoint blocks are executor-local and
+    // non-replicated: lose one executor mid-loop and the job dies with no
+    // recompute path. connectedComponents switches to reliable
+    // checkpoint() whenever a checkpoint dir is configured — same labels,
+    // durable blocks.
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "precondition: local-mode default")
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val without = cc(chain)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    sc.setCheckpointDir(dir)
+    val withDir = cc(chain)
+    assert(withDir == without)
+    // the reliable path actually wrote checkpoint data
+    val wrote = scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))) {
+      s => s.anyMatch(p => java.nio.file.Files.isRegularFile(p))
+    }
+    assert(wrote, "reliable checkpoint dir unused")
+    // SparkContext has no public unset; later CC runs in this shared
+    // session simply keep reliable-checkpoint semantics (tiny at test
+    // scale, and exactly what a cluster session would do)
+  }
+
+  test("unconverged loop fails loudly instead of returning wrong labels") {
+    // no real input exceeds the default 2^48-diameter budget, so force the
+    // condition with maxRounds=1 on a chain that needs several rounds: the
+    // labels would disagree with the transitive-closure oracle, and that
+    // must surface as an exception, never a silent wrong answer
+    import spark.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      TrainingDataQueries.connectedComponents(chain.toDF("u", "v"), maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("q_dedup_cluster groups the sf0.001 near-dup pairs consistently") {
     val rows = TrainingDataQueries.qDedupCluster(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty, "corpus has near-dup pairs, so clusters must exist")

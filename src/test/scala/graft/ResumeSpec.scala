@@ -88,6 +88,26 @@ class ResumeSpec extends AnyFunSuite {
     assert(lineage.groupBy("_bucket").count().where("count > 1").count() == 0)
   }
 
+  test("resume with a different config than the staging fails loudly, same config resumes") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "runF", numBuckets = 16, bucketsPerWave = 4)
+    final class Kill extends RuntimeException("simulated kill")
+    intercept[Kill] {
+      ExtractJob.run(spark, pagesDs, cfg, afterWave = w => if (w == 0) throw new Kill)
+    }
+    // staging exists with a fingerprint; a resume that silently extracted
+    // from it under a different dedup mode / bucket count would produce a
+    // table whose done-markers and partition layout lie
+    val ex = intercept[IllegalArgumentException] {
+      ExtractJob.run(spark, pagesDs, cfg.copy(dedup = ExtractJob.PostDedup))
+    }
+    assert(ex.getMessage.contains("staged input"), ex.getMessage)
+    // identical config resumes normally
+    val report = ExtractJob.run(spark, pagesDs, cfg)
+    assert(report.bucketsSkipped == 4 && report.bucketsRun == 12)
+    assert(new LineageTable(root, 16).read(spark).count() == pagesDs.select("url").distinct().count())
+  }
+
   test("bucket partition pruning reaches the scan") {
     val root = freshRoot()
     val cfg = ExtractJob.Config(root, runId = "runP", numBuckets = 8, bucketsPerWave = 8)
@@ -196,6 +216,25 @@ class ResumeSpec extends AnyFunSuite {
     assert(table.snapshotIds == Seq(1L, 2L, 3L))
     assert(table.readAt(spark, 2L).count() == n2, "snapshot 2 must be untouched")
     assert(table.snapshot(2L)("run_id") == "rb")
+  }
+
+  test("rollback-then-compact never reuses a retained compaction's data dir") {
+    val root = freshRoot()
+    ExtractJob.run(spark, pagesDs, ExtractJob.Config(root, "ca", numBuckets = 8, bucketsPerWave = 8))
+    val table = new LineageTable(root, 8)
+    assert(table.compact(spark) == 2L) // dir data/compact-2
+    val n2 = table.readAt(spark, 2L).count()
+    table.rollbackTo(1L)
+    // make the second compaction's content distinguishable from compact-2's
+    val victim = table.read(spark).select("task_id").head().getString(0)
+    table.deleteTask(victim)
+    // id must come from max(snapshotIds)+1: CURRENT+1 would name the dir
+    // compact-2 again and SaveMode.Overwrite would destroy the data dir
+    // snapshot 2 still references (readAt(2) would silently lose a row)
+    val id = table.compact(spark)
+    assert(id == 3L, s"got $id")
+    assert(table.read(spark).count() == n2 - 1)
+    assert(table.readAt(spark, 2L).count() == n2, "snapshot 2's dir must be untouched")
   }
 
   test("snapshot expiry GC deletes unreferenced dirs, keeps current") {
