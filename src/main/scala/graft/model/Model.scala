@@ -28,6 +28,15 @@ final case class ConversionOptions(
     chunkSize: Int = 512,
     chunkOverlap: Int = 50,
     embeddingDim: Int = 384, // reference embedding_dimension (embeddings.py:20-47)
+    /** Per-request custom metadata (reference: ConversionRequest.metadata,
+      * models.py:90-93). Merged into the result envelope with
+      * system-derived keys winning on collision — the exact dict-merge
+      * order of tasks.py:116 `{**(metadata or {}), **result["metadata"]}`;
+      * the FAILED envelope carries it unmerged (tasks.py:152). Per-job here
+      * (one batch = one request's fan-out); a per-row column would force
+      * the map through every shuffle for what the reference models as
+      * request-scoped. */
+    userMetadata: Map[String, String] = Map.empty,
 ) {
   require(chunkSize >= 100 && chunkSize <= 4096, s"chunk_size $chunkSize not in [100, 4096]")
   require(chunkOverlap >= 0 && chunkOverlap <= 500, s"chunk_overlap $chunkOverlap not in [0, 500]")

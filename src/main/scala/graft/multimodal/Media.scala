@@ -178,10 +178,15 @@ object Media {
     }
   }
 
-  /** Query entry: deterministic per-kind media feature stats. */
+  /** Query entry: deterministic per-kind media feature stats over a PINNED
+    * 600-row media corpus (ids 0..599 — `mediaFor` is deterministic per id,
+    * so this set is identical at every sf, exactly the pinned-64-url recipe
+    * of x_extract_stats64). Pinning makes the VALUES oracle sf-invariant:
+    * the driver can verify at any scale and the hash still matches.
+    * Regenerate via scripts/media_oracle_gen.py under golden discipline. */
   def qMediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val n = if (dir.contains("sf0.1")) 3000 else if (dir.contains("sf0.01")) 600 else 120
+    val n = 600
     extractFeatures(mediaDs(spark, n))(spark)
       .groupBy(col("kind"))
       .agg(

@@ -135,7 +135,8 @@ object ExtractKernel {
         content = content,
         chunks = chunks,
         tables = tables,
-        metadata = Map(
+        // user metadata first, system keys win on collision (tasks.py:116)
+        metadata = opts.userMetadata ++ Map(
           "title" -> doc.name,
           "page_count" -> doc.pageCount.toString,
           "filename" -> filename,
@@ -162,7 +163,7 @@ object ExtractKernel {
           content = null,
           chunks = Seq.empty,
           tables = Seq.empty,
-          metadata = Map.empty,
+          metadata = opts.userMetadata, // unmerged on failure (tasks.py:152)
           page_count = 0,
           processing_time_ms = completed - t0,
           error = Some(String.valueOf(e.getMessage)),

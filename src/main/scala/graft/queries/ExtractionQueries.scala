@@ -229,6 +229,16 @@ object ExtractionQueries {
         |  (384, 424, 42400, 1373692, -17362, 28834)
         |) t(dim, n_chunks, sqn100_sum, csum_sum, csum_min, csum_max) ORDER BY dim""".stripMargin,
 
+    // Pinned per-kind media-container stats over the pinned 600-row media
+    // corpus (PNG IHDR / WAV fmt / video header parsing + stub-feature
+    // digest, sf-invariant). Regenerate: scripts/media_oracle_gen.py.
+    "x_media_features" ->
+      """SELECT * FROM (VALUES
+        |  ('audio', 200, 828000, -1, 40000, 0, CAST(805.94 AS DOUBLE)),
+        |  ('image', 200, 215614, 1086, -1, 0, CAST(791.37 AS DOUBLE)),
+        |  ('video', 200, 107200, 1584, -1, 1600, CAST(794.24 AS DOUBLE))
+        |) t(kind, n_media, total_bytes, max_width, max_sample_rate, frames_sampled, feature_mass_r) ORDER BY kind""".stripMargin,
+
     // Pinned extraction hashes (golden-fixture analog, driver-visible).
     // Regenerate ONLY on deliberate extraction-semantics change:
     // scripts/hash_oracle_gen.py (see its header), eyeball, commit.

@@ -48,6 +48,24 @@ class SparkExtractSpec extends AnyFunSuite {
     }
   }
 
+  test("user metadata passes through the envelope; system keys win on collision") {
+    implicit val s = spark
+    import s.implicits._
+    val opts = ConversionOptions(userMetadata = Map("source" -> "crawl-7", "lang" -> "user-says-xx"))
+    val ok = ExtractKernel.extractOne(CorpusGen.pageFor(0L), opts)
+    assert(ok.status == TaskStatus.Completed)
+    assert(ok.metadata("source") == "crawl-7") // user key preserved
+    assert(ok.metadata("lang") != "user-says-xx") // system-derived key wins (tasks.py:116)
+    // failed envelope carries the user metadata unmerged (tasks.py:152)
+    val bad = Page("https://x.example/j.docx", new Timestamp(0), Array[Byte](80, 75, 3, 4, 9), "", "en")
+    val failed = ExtractKernel.extract(spark.createDataset(Seq(bad))(implicitly), opts).collect()(0)
+    assert(failed.status == TaskStatus.Failed)
+    assert(failed.metadata == opts.userMetadata)
+    // and the default stays byte-identical to before the feature existed
+    assert(ExtractKernel.extractOne(CorpusGen.pageFor(0L), ConversionOptions()).metadata
+      .get("source").isEmpty)
+  }
+
   test("garbage payloads become failed rows without killing the job") {
     implicit val s = spark
     import s.implicits._
