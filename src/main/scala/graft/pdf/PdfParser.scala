@@ -107,12 +107,18 @@ object PdfParser {
     out.result()
   }
 
+  // compiled once: scanObjects calls parseDictKeys per OBJECT and refsIn
+  // runs per page — per-call Regex construction was a measurable slice of
+  // the 60µs/doc object-scan stage (PdfProbe)
+  private val DictKeyRe = "/([A-Za-z0-9]+)\\s*(/[A-Za-z0-9]+|\\d+(?:\\s+0\\s+R)?|\\[[^\\]]*\\])".r
+  private val RefListRe = "(\\d+)\\s+0\\s+R".r
+  private val RefFirstRe = "^(\\d+)\\s+0\\s+R".r
+
   /** Flat key → token map for the simple dicts we emit (no nested lookup
     * needed beyond raw scans). */
   private def parseDictKeys(d: String): Map[String, String] = {
     val m = Map.newBuilder[String, String]
-    val re = "/([A-Za-z0-9]+)\\s*(/[A-Za-z0-9]+|\\d+(?:\\s+0\\s+R)?|\\[[^\\]]*\\])".r
-    re.findAllMatchIn(d).foreach(mm => m += ("/" + mm.group(1)) -> mm.group(2))
+    DictKeyRe.findAllMatchIn(d).foreach(mm => m += ("/" + mm.group(1)) -> mm.group(2))
     m.result()
   }
 
@@ -127,9 +133,9 @@ object PdfParser {
     if (i < rawDict.length && rawDict.charAt(i) == '[') {
       val close = rawDict.indexOf(']', i)
       val inner = rawDict.substring(i + 1, if (close < 0) rawDict.length else close)
-      "(\\d+)\\s+0\\s+R".r.findAllMatchIn(inner).map(_.group(1).toInt).toVector
+      RefListRe.findAllMatchIn(inner).map(_.group(1).toInt).toVector
     } else {
-      "^(\\d+)\\s+0\\s+R".r.findFirstMatchIn(rawDict.substring(i)).map(_.group(1).toInt).toVector
+      RefFirstRe.findFirstMatchIn(rawDict.substring(i)).map(_.group(1).toInt).toVector
     }
   }
 
@@ -146,10 +152,22 @@ object PdfParser {
   // ---------------------------------------------------- stream interpreter
 
   /** Interpret a content stream to positioned runs. Only the text operators
-    * in our subset; unknown operators are skipped with their operands. */
+    * in our subset; unknown operators are skipped with their operands.
+    *
+    * Single fused pass: the former tokenize-then-fold design built a boxed
+    * `Vector[Tok]` (a case-class allocation per number/name/string) that
+    * PdfProbe measured at ~180us/doc -- the interpreter only ever needs the
+    * numeric operand list, the FIRST string/name/array operand, and whether
+    * the LAST operand was a number, so those are tracked directly in
+    * locals. Token-boundary rules, escape handling, and operator semantics
+    * are unchanged (AdversarialGoldenSpec/FuzzSpec + pdf content shas in
+    * x_extract_hashes pin them). */
   def interpret(stream: String): Vector[Run] = {
     val runs = Vector.newBuilder[Run]
-    val toks = Lexer.tokenize(stream)
+    val s = stream
+    val n = s.length
+    var i = 0
+
     var size = 11f
     var bold = false
     var leading = 0f
@@ -158,124 +176,140 @@ object PdfParser {
     var ly = 0f
     var cx = 0f
     var cy = 0f
-    val operands = ArrayBuffer.empty[Lexer.Tok]
 
-    toks.foreach {
-      case op: Lexer.Op =>
-        op.name match {
-          case "BT" => lx = 0f; ly = 0f; cx = 0f; cy = 0f
-          case "ET" =>
-          case "Tf" =>
-            operands.lastOption match {
-              case Some(Lexer.Num(v)) => size = v
-              case _ =>
-            }
-            bold = operands.collectFirst { case Lexer.Name(n) => n }.exists(_.endsWith("F2"))
-          case "Tm" =>
-            val nums = operands.collect { case Lexer.Num(v) => v }
-            if (nums.length >= 6) { lx = nums(4); ly = nums(5); cx = lx; cy = ly }
-          case "Td" =>
-            val nums = operands.collect { case Lexer.Num(v) => v }
-            if (nums.length >= 2) { lx += nums(0); ly += nums(1); cx = lx; cy = ly }
-          case "TD" =>
-            val nums = operands.collect { case Lexer.Num(v) => v }
-            if (nums.length >= 2) { leading = -nums(1); lx += nums(0); ly += nums(1); cx = lx; cy = ly }
-          case "TL" =>
-            operands.lastOption match {
-              case Some(Lexer.Num(v)) => leading = v
-              case _ =>
-            }
-          case "T*" => ly -= leading; lx = lx; cx = lx; cy = ly
-          case "Tj" | "'" =>
-            if (op.name == "'") { ly -= leading; cx = lx; cy = ly }
-            operands.collectFirst { case Lexer.Str(t) => t }.foreach { t =>
-              if (t.nonEmpty) runs += Run(cx, cy, size, bold, t)
-            }
-          case "TJ" =>
-            val text = operands.collectFirst { case Lexer.Arr(elems) =>
-              elems.collect { case Lexer.Str(t) => t }.mkString
-            }.getOrElse("")
-            if (text.nonEmpty) runs += Run(cx, cy, size, bold, text)
-          case _ => // skip unknown ops
+    // operand state since the last operator token
+    val nums = new ArrayBuffer[Float](8)
+    var firstStr: String = null
+    var firstName: String = null
+    var firstArr: String = null // concatenated TOP-LEVEL string elements of the first array
+    var lastIsNum = false
+    var lastNum = 0f
+
+    def readString(): String = {
+      val sb = new java.lang.StringBuilder
+      var depth = 0
+      var done = false
+      while (!done && i < n) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < n) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case other => sb.append(other)
+          }
+          i += 2
+        } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
+        else if (c == ')') {
+          if (depth == 0) { i += 1; done = true }
+          else { depth -= 1; sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    // consume an array body (after '['): collect top-level string contents
+    // only -- strings inside NESTED arrays are skipped, exactly as the old
+    // Arr(elems).collect{ case Str } did for one nesting level
+    def readArray(collect: Boolean): String = {
+      val sb = if (collect) new java.lang.StringBuilder else null
+      var done = false
+      while (!done && i < n) {
+        val c = s.charAt(i)
+        if (c == ']') { i += 1; done = true }
+        else if (c == '(') {
+          i += 1
+          val t = readString() // parse properly: strings may contain ']'
+          if (collect) sb.append(t)
+        } else if (c == '[') { i += 1; readArray(collect = false) }
+        else i += 1 // numbers/names/ws inside arrays carry nothing for TJ
+      }
+      if (collect) sb.toString else null
+    }
+
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
+      else if (c == '(') {
+        i += 1
+        val t = readString()
+        if (firstStr == null) firstStr = t
+        lastIsNum = false
+      } else if (c == '[') {
+        i += 1
+        val t = readArray(collect = firstArr == null)
+        if (firstArr == null) firstArr = t
+        lastIsNum = false
+      } else if (c == '/') {
+        val st = i
+        i += 1
+        while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
+        if (firstName == null) firstName = s.substring(st, i)
+        lastIsNum = false
+      } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
+        val st = i
+        i += 1
+        while (i < n && ("0123456789.+-".indexOf(s.charAt(i)) >= 0)) i += 1
+        s.substring(st, i).toFloatOption match {
+          case Some(v) => nums += v; lastIsNum = true; lastNum = v
+          case None => // malformed number token dropped (no operand appended)
         }
-        operands.clear()
-      case t => operands += t
+      } else {
+        val st = i
+        while (i < n && " \t\r\n()[]/<>".indexOf(s.charAt(i)) < 0) i += 1
+        if (i > st) {
+          val op = s.substring(st, i)
+          op match {
+            case "BT" => lx = 0f; ly = 0f; cx = 0f; cy = 0f
+            case "ET" =>
+            case "Tf" =>
+              if (lastIsNum) size = lastNum
+              bold = firstName != null && firstName.endsWith("F2")
+            case "Tm" =>
+              if (nums.length >= 6) { lx = nums(4); ly = nums(5); cx = lx; cy = ly }
+            case "Td" =>
+              if (nums.length >= 2) { lx += nums(0); ly += nums(1); cx = lx; cy = ly }
+            case "TD" =>
+              if (nums.length >= 2) { leading = -nums(1); lx += nums(0); ly += nums(1); cx = lx; cy = ly }
+            case "TL" =>
+              if (lastIsNum) leading = lastNum
+            case "T*" => ly -= leading; cx = lx; cy = ly
+            case "Tj" | "'" =>
+              if (op == "'") { ly -= leading; cx = lx; cy = ly }
+              if (firstStr != null && firstStr.nonEmpty) runs += Run(cx, cy, size, bold, firstStr)
+            case "TJ" =>
+              if (firstArr != null && firstArr.nonEmpty) runs += Run(cx, cy, size, bold, firstArr)
+            case _ => // skip unknown ops
+          }
+          nums.clear(); firstStr = null; firstName = null; firstArr = null; lastIsNum = false
+        } else i += 1
+      }
     }
     runs.result()
-  }
-
-  object Lexer {
-    sealed trait Tok
-    final case class Num(v: Float) extends Tok
-    final case class Str(s: String) extends Tok
-    final case class Name(s: String) extends Tok
-    final case class Arr(elems: Vector[Tok]) extends Tok
-    final case class Op(name: String) extends Tok
-
-    def tokenize(s: String): Vector[Tok] = {
-      val out = Vector.newBuilder[Tok]
-      var i = 0
-      val n = s.length
-      def readTokens(closeOn: Char): Vector[Tok] = {
-        val inner = Vector.newBuilder[Tok]
-        var done = false
-        while (!done && i < n) {
-          val c = s.charAt(i)
-          if (c == closeOn) { i += 1; done = true }
-          else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') i += 1
-          else if (c == '(') { i += 1; inner += Str(readString()) }
-          else if (c == '[') { i += 1; inner += Arr(readTokens(']')) }
-          else if (c == '/') {
-            val st = i
-            i += 1
-            while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '_')) i += 1
-            inner += Name(s.substring(st, i))
-          } else if (c == '-' || c == '+' || c == '.' || (c >= '0' && c <= '9')) {
-            val st = i
-            i += 1
-            while (i < n && ("0123456789.+-".indexOf(s.charAt(i)) >= 0)) i += 1
-            s.substring(st, i).toFloatOption.foreach(v => inner += Num(v))
-          } else {
-            val st = i
-            while (i < n && " \t\r\n()[]/<>".indexOf(s.charAt(i)) < 0) i += 1
-            if (i > st) inner += Op(s.substring(st, i)) else i += 1
-          }
-        }
-        inner.result()
-      }
-      def readString(): String = {
-        val sb = new StringBuilder
-        var depth = 0
-        var done = false
-        while (!done && i < n) {
-          val c = s.charAt(i)
-          if (c == '\\' && i + 1 < n) {
-            s.charAt(i + 1) match {
-              case 'n' => sb.append('\n'); case 't' => sb.append('\t')
-              case 'r' => sb.append('\r'); case 'b' => sb.append('\b')
-              case 'f' => sb.append('\f')
-              case other => sb.append(other)
-            }
-            i += 2
-          } else if (c == '(') { depth += 1; sb.append(c); i += 1 }
-          else if (c == ')') {
-            if (depth == 0) { i += 1; done = true }
-            else { depth -= 1; sb.append(c); i += 1 }
-          } else { sb.append(c); i += 1 }
-        }
-        sb.toString
-      }
-      out ++= readTokens('\u0000') // top level: sentinel never matches
-      out.result()
-    }
   }
 
   // ------------------------------------------------------------- layout
 
   private final case class Line(y: Float, runs: Vector[Run]) {
-    def x: Float = runs.head.x
-    def bold: Boolean = runs.forall(_.bold)
-    def size: Float = runs.map(_.size).max
+    // vals, not defs: layout's merge loops re-read size/bold/x per
+    // neighbor comparison — recomputing max/forall over runs each call was
+    // part of the measured layout cost (PdfProbe)
+    val x: Float = runs.head.x
+    // single loop for bold/size/xs (was forall + boxed map.max + map)
+    val xs: Array[Float] = new Array[Float](runs.length)
+    val (bold: Boolean, size: Float) = {
+      var b = true
+      var sz = Float.MinValue
+      var i = 0
+      while (i < runs.length) {
+        val r = runs(i)
+        b &&= r.bold
+        if (r.size > sz) sz = r.size
+        xs(i) = r.x // ascending: runs are x-sorted by construction
+        i += 1
+      }
+      (b, sz)
+    }
     def text: String = runs.map(_.text).mkString(" ")
   }
 
@@ -283,29 +317,60 @@ object PdfParser {
   def layout(runs: Vector[Run], pageW: Float, pageNo: Int): (Vector[Block], Option[String]) = {
     if (runs.isEmpty) return (Vector.empty, None)
 
-    // cluster into lines by y (tolerance 1pt)
-    val byY = runs.groupBy(r => math.round(r.y)).toVector
-    val lines = byY.map { case (_, rs) =>
-      Line(rs.head.y, rs.sortBy(_.x))
+    // cluster into lines by y (tolerance 1pt). Manual grouping replaces
+    // groupBy (PdfProbe: layout was 226us/doc, mostly collection churn);
+    // cluster emission order is irrelevant — lines re-sort by -y below and
+    // cross-cluster y ties are impossible (distinct rounded keys imply
+    // distinct head y), so the sort is order-total.
+    val groups = new java.util.HashMap[Int, ArrayBuffer[Run]]
+    runs.foreach { r =>
+      val key = math.round(r.y)
+      var b = groups.get(key)
+      if (b == null) { b = new ArrayBuffer[Run](4); groups.put(key, b) }
+      b += r // append keeps interpret order: head.y is the first-emitted run's y
+    }
+    val lines = {
+      val b = Vector.newBuilder[Line]
+      val it = groups.values.iterator()
+      while (it.hasNext) {
+        val rs = it.next()
+        // stable sort: x ties keep interpret order; 1-run lines (the common
+        // case — body paragraphs) skip the sort machinery entirely
+        b += Line(rs.head.y, if (rs.length == 1) Vector(rs.head) else rs.sortBy(_.x).toVector)
+      }
+      b.result()
     }
 
     // column split: both halves populated and no line crosses the middle
     val mid = pageW / 2
     val leftLines = lines.filter(_.x < mid)
     val rightLines = lines.filter(_.x >= mid)
-    val crossing = lines.exists(l => l.runs.exists(_.x < mid) && l.runs.exists(_.x >= mid))
+    // runs are x-sorted, so "some run < mid and some >= mid" ⇔ first < mid ≤ last
+    val crossing = lines.exists(l => l.xs(0) < mid && l.xs(l.xs.length - 1) >= mid)
     val ordered: Vector[Line] =
       if (!crossing && leftLines.length >= 2 && rightLines.length >= 2)
         leftLines.sortBy(-_.y) ++ rightLines.sortBy(-_.y)
       else lines.sortBy(-_.y)
 
-    // modal gap = body leading
-    val gaps = ordered.sliding(2).collect {
-      case Seq(a, b) if a.y - b.y > 0.5f => math.round(a.y - b.y)
-    }.toVector
-    val leading: Float =
-      if (gaps.isEmpty) 14f
-      else gaps.groupBy(identity).maxBy { case (g, v) => (v.size, -g) }._1.toFloat
+    // modal gap = body leading: incremental argmax by (count desc, gap asc)
+    // — same total order as the old groupBy/maxBy((v.size, -g)), without
+    // sliding-window and per-gap Vector allocation
+    val leading: Float = {
+      val counts = new java.util.HashMap[Int, Int]
+      var best = -1; var bestCount = 0
+      var k = 1
+      while (k < ordered.length) {
+        val d = ordered(k - 1).y - ordered(k).y
+        if (d > 0.5f) {
+          val g = math.round(d)
+          val c = counts.getOrDefault(g, 0) + 1
+          counts.put(g, c)
+          if (c > bestCount || (c == bestCount && g < best)) { best = g; bestCount = c }
+        }
+        k += 1
+      }
+      if (best < 0) 14f else best.toFloat
+    }
 
     val bodySize = ordered.map(_.size).groupBy(s => s).maxBy(_._2.size)._1
 
@@ -354,13 +419,26 @@ object PdfParser {
     (blocks.result(), title)
   }
 
+  /** Same column grid: every x of the shorter row matches one of the longer
+    * (|dx| < 1pt). Two-pointer over the pre-sorted xs arrays — equivalent to
+    * the old short.forall(x => long.exists(|x-y|<1f)): the skip condition
+    * re-uses the abs-path subtraction (x - y >= 1f, y below x) so float
+    * boundaries are bit-identical, and skipped ys can never match a later,
+    * larger x (x' - y >= x - y under float monotonicity). */
   private def aligned(a: Line, b: Line): Boolean = {
-    if (a.runs.length < 2 || b.runs.length < 2) return false
-    val ax = a.runs.map(_.x)
-    val bx = b.runs.map(_.x)
-    // same column grid: every x of the shorter row matches one of the longer
+    val ax = a.xs
+    val bx = b.xs
+    if (ax.length < 2 || bx.length < 2) return false
     val (short, long) = if (ax.length <= bx.length) (ax, bx) else (bx, ax)
-    short.forall(x => long.exists(y => math.abs(x - y) < 1f))
+    var i = 0
+    var j = 0
+    while (i < short.length) {
+      val x = short(i)
+      while (j < long.length && x - long(j) >= 1f) j += 1
+      if (j >= long.length || !(math.abs(x - long(j)) < 1f)) return false
+      i += 1
+    }
+    true
   }
 
   private def sameSide(a: Line, b: Line, mid: Float): Boolean =
