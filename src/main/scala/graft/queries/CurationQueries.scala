@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   *    is far larger than the batch).
   *
   * Cross-engine character semantics: the substring/segment queries index
-  * by CHARACTER position, identical between JVM UTF-16 and DuckDB UTF-8
-  * for the BMP; the corpus is ASCII (verified), so the oracles are exact.
-  * A non-BMP corpus would need byte-position (or codepoint-aware)
-  * windows on both sides.
+  * by CODEPOINT position in BOTH engines (Spark `substring`/`length` walk
+  * UTF8String chars; DuckDB `substr`/`length` count codepoints — grapheme
+  * semantics only via `substring_grapheme`), and `md5` hashes UTF-8 bytes
+  * in both — so the oracles are exact for ANY unicode corpus, including
+  * non-BMP where JVM `String.length` would disagree (no query computes
+  * positions JVM-side). Proven empirically by the widened-corpus
+  * differential (graft.tools.CharSemCheck + scripts/charsem_check.py:
+  * ASCII / combining-accent Latin / Cyrillic / CJK / surrogate-pair emoji
+  * tiers, 4/4 hash-exact).
   */
 object CurationQueries {
 
