@@ -113,15 +113,25 @@ object Bench {
       extractRuns += timeWithSteal(freshExtract())
       extractExtra += 1
     }
+    // headline_clean: whether the accepted measurement came from a
+    // steal-clean window. When false (sustained storm outlasted all 6
+    // backoff retries) the number is host noise, not engine speed — the
+    // best CLEAN historical 32-core measurement is carried alongside so a
+    // contaminated driver run is self-describing (VERDICT r2 #6). The
+    // constant is the accepted clean best from BENCH.md round-2
+    // methodology (74,257 pages/s @ 32 cores, both-legs-clean
+    // discipline); update it when a new clean best is recorded there.
+    val headlineClean = extractRuns.exists(clean)
+    val cleanBestPrior = 74257.0
     val extractSec =
-      (if (extractRuns.exists(clean)) extractRuns.filter(clean) else extractRuns).map(_._1).min
+      (if (headlineClean) extractRuns.filter(clean) else extractRuns).map(_._1).min
     val pagesPerSec = nPages / extractSec
     val stealDelta = stealTicks() - steal0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"headline_clean":$headlineClean%b,"clean_best_prior_pages_per_sec":$cleanBestPrior%.1f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
     spark2.stop()
   }
 }
