@@ -54,6 +54,13 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.queries.TrainingDataQueries.qDedupEmbCosine(spark, dir))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join in emb-cosine dedup:\n$plan")
+    // candidate rejoin is PINNED, not AQE-dependent: pairs and the
+    // semi-filtered payload table are materialized at checkpoint time (the
+    // broadcast-semi corpus filter runs there), so the final plan joins two
+    // checkpointed candidate-bounded RDDs — the corpus never appears in it
+    assert(plan.contains("Scan ExistingRDD") && plan.contains("BroadcastHashJoin"),
+      s"candidate rejoin not over checkpointed candidate tables:\n$plan")
+    assert(!plan.contains("FileScan"), s"corpus scan leaked into the rejoin plan:\n$plan")
   }
 
   test("multi-probe ANN LSH: 17-key probe side is broadcast (no corpus shuffle)") {
