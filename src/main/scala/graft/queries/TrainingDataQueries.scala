@@ -686,6 +686,54 @@ object TrainingDataQueries {
     }
   }
 
+  /** Corpus-composition clustering: every embedding assigned to its nearest
+    * md5-selected medoid (the same bounded coarse quantizer as [[qAnnIvf]])
+    * and each cluster reported with size, smallest member, and an exact
+    * integer cohesion digest — the semantic-balance view a curation
+    * pipeline monitors for topic drift (the SemDeDup-adjacent shape, made
+    * deterministic and cross-engine reproducible). Digest = Σ floor(cos ·
+    * 10⁴ + 0.5) per cluster, NOT avg: double summation order differs across
+    * engines/partitions, while the quantized-long sum is exact and
+    * order-independent (same trade as x_extract_emb64's weight digest).
+    * Scale: medoid set bounded ≤ ~8k ([[medoidModulus]]) and broadcast;
+    * assignment + cosine map-only; the only shuffle is the final groupBy on
+    * ≤ 8k keys. */
+  def qTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    val total = e.count() // parquet count-star: row-group metadata, no scan
+    val mod = medoidModulus(total)
+    def isMedoidId(id: Long): Boolean =
+      java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), mod) == 0L
+    val medoidUdf = udf((id: Long) => isMedoidId(id))
+    val medoids: Array[(Long, Array[Float])] = e.where(medoidUdf(col("vec_id"))).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(medoids.nonEmpty, "no medoid centroids selected")
+    val bc = spark.sparkContext.broadcast(medoids)
+    // one fused pass: (nearest medoid id, quantized cosine to it) per row;
+    // argmax ties -> smallest medoid id (ascending iteration + strict >)
+    val assignUdf = udf((v: Seq[Float]) => {
+      val ms = bc.value
+      var best = ms(0)._1
+      var bestCos = Double.NegativeInfinity
+      var i = 0
+      while (i < ms.length) {
+        val c = cosineQ(scala.collection.immutable.ArraySeq.unsafeWrapArray(ms(i)._2), v)
+        if (c > bestCos) { bestCos = c; best = ms(i)._1 }
+        i += 1
+      }
+      (best, math.floor(bestCos * 10000d + 0.5d).toLong)
+    })
+    e.withColumn("a", assignUdf(col("embedding")))
+      .select(col("vec_id"), col("a._1").as("list_id"), col("a._2").as("cos_q"))
+      .groupBy(col("list_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        sum(col("cos_q")).as("sum_cos_q"),
+      )
+      .orderBy(col("list_id"))
+  }
+
   /** Deterministic random-hyperplane sign sketch, DuckDB-reproducible:
     * bit b = [ Σ_d w(b+bitOffset, d) · q(emb[d]) ≥ 0 ] with rademacher
     * weights w(p, d) = +1 iff md5_number_lower("p_d") is even, and
@@ -1094,6 +1142,28 @@ object TrainingDataQueries {
          |  ORDER BY cos_r DESC, e.vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
 
+    // Full reproduction of the medoid clustering: same hash-selected
+    // medoids as q_ann_ivf, argmax-quantized-cosine assignment, exact
+    // integer cohesion digest (floor(c*1e4+0.5) — both engines compute the
+    // identical IEEE double first, so the floor agrees bit-for-bit).
+    "q_topic_clusters" ->
+      s"""WITH $QvCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM qn
+         |  WHERE md5_number_lower(vec_id::VARCHAR)
+         |        % (SELECT greatest(31, count(*) // 4096)::UBIGINT FROM embeddings) = 0
+         |), asg AS (
+         |  SELECT vec_id, c_id, c,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, c_id) AS rn
+         |  FROM (SELECT e.vec_id, ct.c_id,
+         |               ${cosQSql("e.q", "e.n2", "ct.cq", "ct.cn2")} AS c
+         |        FROM qn e CROSS JOIN cents ct)
+         |)
+         |SELECT c_id AS list_id, count(*)::BIGINT AS n_vecs,
+         |       min(vec_id) AS min_vec_id,
+         |       sum(CAST(floor(c * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_cos_q
+         |FROM asg WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Winnowing reproduced in SQL: md5-derived 32-bit gram hashes, per-
     // window minima (k=8, w=4), order-independent aggregates over the
     // distinct selected values.
@@ -1200,6 +1270,7 @@ object TrainingDataQueries {
     "q_ann_brute_force" -> ((s: SparkSession, d: String) => qAnnBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
+    "q_topic_clusters" -> (qTopicClusters _),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),

@@ -54,6 +54,87 @@ object StreamingExtract extends Serializable {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Exactly-once streaming ingestion into the snapshot table: pages file
+    * stream → extraction kernel → ONE [[graft.table.LineageTable]] snapshot
+    * per micro-batch via foreachBatch — the streaming analog of the batch
+    * [[graft.pipeline.ExtractJob]] wave commit, sharing the table layout,
+    * bucket scheme, and lineage row schema, so Stats/status lookups and
+    * time travel work identically over batch- and stream-committed data.
+    *
+    * Exactly-once recipe (the Iceberg/Delta streaming-sink shape):
+    * Structured Streaming replays an uncommitted micro-batch after failure
+    * with the SAME batchId, so the sink keys the data dir AND the snapshot
+    * run_id on (streamRunId, batchId) — a replayed batch Overwrites its own
+    * never-committed dir, and is skipped entirely when its snapshot already
+    * committed ([[commitStreamBatch]] returns false). Readers only ever see
+    * the atomic CURRENT pointer, so a crash mid-batch is invisible. Manifest
+    * size grows one dir per batch (exactly Iceberg's model); periodic
+    * `compact()` + `expireSnapshots` fold the history away. */
+  def runToTable(
+      spark: SparkSession,
+      inputDir: String,
+      table: graft.table.LineageTable,
+      checkpointDir: String,
+      options: ConversionOptions = ConversionOptions(),
+      streamRunId: String = "stream",
+      availableNow: Boolean = true,
+  ): StreamingQuery = {
+    import spark.implicits._
+    val pages: Dataset[Page] = spark.readStream
+      .schema(PageSchema)
+      .option("maxFilesPerTrigger", "16")
+      .parquet(inputDir)
+      .as[Page]
+    val results = ExtractKernel.extract(pages, options)(spark).toDF()
+    val writer = results.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(table, batch, streamRunId, batchId)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Commit one extracted micro-batch as a table snapshot. Returns false
+    * (and writes nothing) when this (streamRunId, batchId) already
+    * committed — the replay-after-crash path. Single-writer per table, as
+    * everywhere in the table layer. */
+  def commitStreamBatch(table: graft.table.LineageTable, batch: DataFrame,
+                        streamRunId: String, batchId: Long): Boolean = {
+    val runId = s"$streamRunId-b$batchId"
+    val already = table.snapshotIds.exists(id =>
+      String.valueOf(table.snapshot(id).getOrElse("run_id", "")) == runId)
+    if (already) return false
+    val spark = batch.sparkSession
+    val dataDir = s"${table.root}/data/$runId"
+    val lineageDir = s"${table.root}/lineage/$runId"
+    val results = batch.withColumn("_bucket",
+      pmod(xxhash64(col("url")), lit(table.numBuckets)).cast("int"))
+    results.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("_bucket").parquet(dataDir)
+    // lineage from the written files (no kernel recompute, columnar prune);
+    // explicit schema: an empty batch writes only _SUCCESS
+    val written = spark.read.schema(results.schema).parquet(dataDir)
+    val lineage = written.groupBy(col("_bucket"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failed"),
+        sum(col("processing_time_ms")).as("wall_ms"),
+      )
+      .withColumn("run_id", lit(runId))
+      .withColumn("wave", lit(batchId))
+      .withColumn("committed_at", current_timestamp())
+    lineage.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lineageDir)
+    table.commitSnapshot(
+      table.currentDataDirs :+ dataDir,
+      table.currentLineageDirs :+ lineageDir,
+      runId,
+      Map("stream_batch_id" -> batchId))
+    true
+  }
+
   /** Streaming exact dedup: first crawl of each content hash wins, later
     * re-crawls are dropped inside the stream (the continuous analog of
     * qDedupExact). State = one md5 per seen content; the watermark bounds

@@ -162,6 +162,35 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
   }
 
+  /** Incremental read (Iceberg incremental-scan analog): the rows ADDED
+    * after snapshot `sinceId`, up to and including snapshot `untilId`
+    * (default CURRENT) — what a downstream consumer processes to catch up
+    * without rescanning the table. Sound because commits are append-only at
+    * the dir level (a new snapshot references the old dirs plus new ones),
+    * so the added rows are exactly the dirs in `untilId` minus those in
+    * `sinceId`. A compaction between the two snapshots REWRITES history
+    * into fresh dirs — every row would look "added" — so that case raises
+    * instead of silently double-delivering; consumers resume from the
+    * compacted snapshot with a full read. Returns an empty set of dirs as
+    * an empty DataFrame of the table's schema via the caller's own read. */
+  def changesSince(spark: SparkSession, sinceId: Long, untilId: Option[Long] = None): DataFrame = {
+    val toId = untilId.orElse(currentSnapshotId).getOrElse(
+      throw new IllegalArgumentException(s"table $root has no committed snapshot"))
+    require(Files.exists(p("_manifests", s"snapshot-$sinceId.json")),
+      s"snapshot $sinceId of $root does not exist (never committed, or expired)")
+    require(Files.exists(p("_manifests", s"snapshot-$toId.json")),
+      s"snapshot $toId of $root does not exist (never committed, or expired)")
+    val before = dataDirsOf(sinceId).toSet
+    val after = dataDirsOf(toId)
+    val removed = before -- after.toSet
+    require(removed.isEmpty,
+      s"snapshots $sinceId..$toId of $root are not append-only (compaction or " +
+        s"rollback rewrote ${removed.size} dir(s)); resume with a full read of $toId")
+    val added = after.filterNot(before).filter(hasParquet)
+    if (added.isEmpty) readAt(spark, toId).limit(0)
+    else readDirs(spark, added, s"changes $sinceId..$toId of $root")
+  }
+
   private def readDirs(spark: SparkSession, dirs: Seq[String], what: String): DataFrame = {
     val nonEmpty = dirs.filter(hasParquet)
     require(nonEmpty.nonEmpty, s"$what contains no data files")
