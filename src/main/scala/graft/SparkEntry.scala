@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CurationQueries, ExtractionQueries, RelationalQueries, TrainingDataQueries}
+import graft.queries.{CurationQueries, ExtractionQueries, GraphQueries, RelationalQueries, TrainingDataQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,8 +19,10 @@ object SparkEntry {
     ExtractionQueries.xExtractSummary(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ TrainingDataQueries.all ++ CurationQueries.all ++ ExtractionQueries.all
+    RelationalQueries.all ++ TrainingDataQueries.all ++ CurationQueries.all ++
+      ExtractionQueries.all ++ GraphQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ TrainingDataQueries.oracles ++ CurationQueries.oracles ++ ExtractionQueries.oracles
+    RelationalQueries.oracles ++ TrainingDataQueries.oracles ++ CurationQueries.oracles ++
+      ExtractionQueries.oracles ++ GraphQueries.oracles
 }

@@ -377,9 +377,82 @@ object CurationQueries {
       .orderBy(col("source"), col("rnk"))
   }
 
+  // ------------------------------------------------------- LM quality score
+
+  /** Corpus-trained bigram language-model surprisal score — the CCNet-style
+    * perplexity quality filter (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data") made cross-engine
+    * exact: instead of a float log-prob under an external KenLM, each
+    * document is scored in INTEGER LOG2 UNITS against an n-gram model
+    * trained on the corpus itself in the same job. Per bigram (w1 w2) the
+    * surprisal is ilog2(count(w1)) − ilog2(count(w1 w2)) ≥ 0 where
+    * ilog2(c) = floor(log2(c)) = length(bin(c)) − 1 — pure integer, both
+    * engines agree bit-for-bit (`bin` exists in both). High avg bits =
+    * bigrams rare relative to their prefix word = unusual/low-quality text;
+    * the filter is a WHERE on avg_bits_r downstream.
+    *
+    * 100 TB shape: two count aggregations (unigram, bigram) with map-side
+    * partial agg — the model tables are vocabulary-sized (≪ corpus) and
+    * the scoring joins are keyed equi-joins on the gram; at web scale the
+    * unigram side broadcasts and the bigram join shuffles gram-hash-sized
+    * rows only. Training and scoring in one pipeline — no model
+    * import/export step to drift. */
+  def qLmScore(spark: SparkSession, dir: String): DataFrame =
+    lmScore(docs(spark, dir))
+
+  /** The train+score core over any `(doc_id, text)` frame — unit-testable
+    * against hand-computed surprisal (CurationSpec). */
+  def lmScore(d: DataFrame): DataFrame = {
+    val words = d.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("w"))
+    val uni = words.select(explode(col("w")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val bg = words.where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))")).as("e"))
+      .select(col("doc_id"), col("e.w1").as("w1"), col("e.w2").as("w2"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val scored = bg.join(bgc, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((length(bin(col("cu"))) - length(bin(col("cb")))).cast("long")).as("bits"))
+    d.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("bits"), lit(0L)).as("bits"),
+        round(when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("bits").cast("double") / col("n_bigrams")), 4).as("avg_bits_r"))
+      .orderBy(col("doc_id"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   val oracles: Map[String, String] = Map(
+    "q_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w1, count(*) AS cu FROM (SELECT unnest(wl) AS w1 FROM w) GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id, wl[i] AS w1, wl[i + 1] AS w2
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl) - 1)) AS i
+        |        FROM w WHERE len(wl) >= 2)
+        |), bgc AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+        |), per AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         sum(length(bin(cu)) - length(bin(cb))) AS bits
+        |  FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
+        |  GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(bits, 0)::BIGINT AS bits,
+        |       round(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |             ELSE bits::DOUBLE / n_bigrams END, 4) AS avg_bits_r
+        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q_domain_cap" ->
       """SELECT doc_id, source, n_chars, rnk FROM (
         |  SELECT doc_id, source, n_chars,
@@ -551,5 +624,6 @@ object CurationQueries {
     "q_dedup_segments" -> ((s: SparkSession, d: String) => qDedupSegments(s, d)),
     "q_mix_weights" -> ((s: SparkSession, d: String) => qMixWeights(s, d)),
     "q_domain_cap" -> ((s: SparkSession, d: String) => qDomainCap(s, d)),
+    "q_lm_score" -> (qLmScore _),
   )
 }

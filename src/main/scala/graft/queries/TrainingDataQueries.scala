@@ -331,7 +331,7 @@ object TrainingDataQueries {
     * (`sparkContext.setCheckpointDir`, HDFS/object store on a cluster),
     * use `checkpoint()` against it; fall back to localCheckpoint for
     * local/test sessions where re-running the whole job is cheap. */
-  private def eagerCheckpoint(df: DataFrame): DataFrame =
+  private[queries] def eagerCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 

@@ -192,4 +192,36 @@ class CurationSpec extends AnyFunSuite {
       assert(sorted.map(_.getLong(2)).toSeq == sorted.map(_.getLong(2)).sortBy(-_).toSeq)
     }
   }
+
+  // ------------------------------------------------------- LM quality score
+
+  test("lm score: hand-computed integer surprisal on a crafted corpus") {
+    import spark.implicits._
+    // doc 0 "a a b": bigrams (a,a) (a,b)
+    // doc 1 "a b c": bigrams (a,b) (b,c)
+    // doc 2 "a a z" (after lower): bigrams (a,a) (a,z)
+    // doc 3 "b":     no bigrams; doc 4 "": no tokens
+    val df = Seq(
+      (0L, "a a b"), (1L, "a b c"), (2L, "A a z"), (3L, "b"), (4L, ""),
+    ).toDF("doc_id", "text")
+    // uni: a=5 (ilog2 2), b=3 (1), c=1 (0), z=1 (0)
+    // bg:  (a,a)=2 (1), (a,b)=2 (1), (b,c)=1 (0), (a,z)=1 (0)
+    // doc0 bits = (2-1)+(2-1) = 2, n=2, avg 1.0
+    // doc1 bits = (2-1)+(1-0) = 2, n=2, avg 1.0
+    // doc2 bits = (2-1)+(2-0) = 3, n=2, avg 1.5
+    val got = CurationQueries.lmScore(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((2L, 2L, 1.0)))
+    assert(got(1L) == ((2L, 2L, 1.0)))
+    assert(got(2L) == ((2L, 3L, 1.5)))
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("lm score: corpus run is total, non-negative, and repetitive docs score low") {
+    val rows = CurationQueries.qLmScore(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(rows.forall(_.getLong(2) >= 0L))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0))
+  }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.GraphQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank iteration core behind q_pagerank, proven against an
+  * independent scalar reference loop on hand-sized graphs — the DataFrame
+  * plan and the Map-based loop share only the spec text, so a bug in
+  * either shows as a mismatch. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  /** Scalar reference: same integer fixed-point recurrence, plain Scala. */
+  private def refPageRank(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val S = GraphQueries.Scale
+    val n = nodes.size
+    val out = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).distinct }
+    val tele = S * 15L / 100L / n
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((u, ts) <- out; t <- ts) contrib(t) += r(u) / ts.size
+      r = nodes.map(v => v -> (tele + 85L * contrib(v) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphQueries.pageRank(nodes.toDF("node"), edges.distinct.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("4-node cycle converges to the uniform rank") {
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val got = run(nodes, edges, 8)
+    val want = refPageRank(nodes, edges, 8)
+    assert(got.view.mapValues(_._2).toMap == want)
+    // cycle is symmetric: every node ends at the same rank, near Scale/4
+    assert(got.values.map(_._2).toSet.size == 1)
+    assert(math.abs(got(0L)._2 - GraphQueries.Scale / 4) < GraphQueries.Scale / 100)
+    assert(got.values.forall(_._1 == 1L)) // outdeg
+  }
+
+  test("star graph: hub collects rank; spokes hold only teleport mass") {
+    // spokes 1..4 all point at hub 0; hub points back at spoke 1
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+    val got = run(nodes, edges, 8)
+    val want = refPageRank(nodes, edges, 8)
+    assert(got.view.mapValues(_._2).toMap == want)
+    val tele = GraphQueries.Scale * 15L / 100L / nodes.size
+    // spokes 2..4 have no in-edges -> exactly teleport mass after round 1
+    assert(Seq(2L, 3L, 4L).forall(got(_)._2 == tele))
+    // the hub<->spoke-1 pair oscillates the bulk mass between them (hub
+    // forwards everything to spoke 1 each round); both dominate the
+    // teleport-only spokes regardless of the iteration parity
+    assert(got(0L)._2 > got(2L)._2 && got(1L)._2 > got(2L)._2)
+  }
+
+  test("dangling node leaks its mass but still receives; ranks stay positive and bounded") {
+    // 0 -> 1 -> 2, node 2 dangles (outdeg 0)
+    val nodes = Seq(0L, 1L, 2L)
+    val edges = Seq((0L, 1L), (1L, 2L))
+    val got = run(nodes, edges, 8)
+    val want = refPageRank(nodes, edges, 8)
+    assert(got.view.mapValues(_._2).toMap == want)
+    assert(got(2L)._1 == 0L) // outdeg 0 survives to the output
+    val total = got.values.map(_._2).sum
+    assert(total > 0L && total <= GraphQueries.Scale)
+  }
+
+  test("derived corpus graph: deterministic, self-loop-free, distinct") {
+    val e = GraphQueries.qLinkGraph(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.nonEmpty)
+    assert(e.forall { case (s, d) => s != d })
+    assert(e.distinct.length == e.length)
+    val again = GraphQueries.qLinkGraph(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e.sameElements(again))
+  }
+}
