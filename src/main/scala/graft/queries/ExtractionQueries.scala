@@ -205,6 +205,40 @@ object ExtractionQueries {
       .orderBy(col("dim"))
   }
 
+  /** Outlink extraction over the same 64 pinned urls — the link-graph
+    * construction step of a web pipeline, hard-checked driver-side: per
+    * url, the renderer-valid link count, external-host link count,
+    * distinct resolved target hosts, and an order-sensitive md5 over the
+    * document-order host list (any change to the tokenizer, tree builder,
+    * anchor validity rule, or host resolution flips a digest). Non-HTML
+    * documents carry no links and pin to zeros + the empty-string md5.
+    * Oracle values generated by scripts/links_oracle_gen.py under the
+    * golden audit discipline. */
+  def xLinks64(spark: SparkSession, dir: String): DataFrame = {
+    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+    val linkUdf = udf((url: String, html: Array[Byte]) => {
+      import graft.model.DocumentType
+      if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
+        val root = graft.html.TreeBuilder.parse(
+          new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        val (n, ext, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
+        (n, ext, hosts)
+      } else (0, 0, Vector.empty[String])
+    })
+    pagesDs(spark, dir).toDF()
+      .where(col("url").isin(pinned: _*))
+      .dropDuplicates("url")
+      .select(col("url"), linkUdf(col("url"), col("html")).as("r"))
+      .select(
+        col("url"),
+        col("r._1").as("n_links"),
+        col("r._2").as("n_external"),
+        size(array_distinct(col("r._3"))).as("n_hosts"),
+        md5(concat_ws(",", col("r._3")).cast("binary")).as("hosts_md5"),
+      )
+      .orderBy(col("url"))
+  }
+
   val oracles: Map[String, String] = Map(
     // Pinned per-type envelope stats over the same 64 urls (chunking /
     // table-extraction / page-count hard check). Regenerate:
@@ -228,6 +262,80 @@ object ExtractionQueries {
       """SELECT * FROM (VALUES
         |  (384, 424, 42400, 1373692, -17362, 28834)
         |) t(dim, n_chunks, sqn100_sum, csum_sum, csum_min, csum_max) ORDER BY dim""".stripMargin,
+
+    // Pinned per-url outlink summary over the same 64 pinned urls
+    // (link-graph construction hard check: anchor validity, host
+    // resolution, document-order digest). Regenerate ONLY on deliberate
+    // link-semantics change: scripts/links_oracle_gen.py, eyeball, commit.
+    "x_links64" ->
+      """
+        |SELECT * FROM (VALUES
+        |  ('https://site0.example/news/page-0.html', 19, 6, 3, 'e3f99f69776d41b46309c082630950f0'),
+        |  ('https://site1.example/tech/page-1.html', 45, 29, 3, 'b4334577e6f7e2afeb464ed9f1ffd489'),
+        |  ('https://site10.example/docs/page-10.html', 17, 4, 3, '409f45288ed058224da38ea448b90fc1'),
+        |  ('https://site11.example/market/page-11.html', 16, 3, 3, '8d56edcb1024d351a203df8d1db6b995'),
+        |  ('https://site12.example/news/page-12.html', 23, 7, 3, 'b3179b1ed770175228bd5f046ed03243'),
+        |  ('https://site13.example/tech/page-13.xlsx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site14.example/science/page-14.html', 15, 1, 2, '5f0a27b6ec1fb61355db012e2eadefac'),
+        |  ('https://site15.example/blog/page-15.html', 24, 12, 3, 'f2c4853ba0bbd4e52e4c1233af67ba55'),
+        |  ('https://site16.example/docs/page-16.adoc', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site17.example/market/page-17.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site18.example/news/page-18.html', 15, 2, 3, '59b489735ca37571353f8dbdb7a08bbc'),
+        |  ('https://site19.example/tech/page-19.html', 19, 6, 3, 'dfe4659c5f33c004fe6ec2775ace8e1c'),
+        |  ('https://site2.example/science/page-2.html', 13, 2, 3, 'f03c26337f94e3c1c92659c8fe0ec43c'),
+        |  ('https://site20.example/science/page-20.html', 159, 148, 3, '0ae320ac86cb4d4707c59d3bbe559c90'),
+        |  ('https://site21.example/blog/page-21.pptx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site22.example/docs/page-22.html', 37, 25, 3, '166c99a0b6b749e4dba5faf47f2d8750'),
+        |  ('https://site23.example/market/page-23.html', 18, 3, 3, '729aa7388f1d91b1d72f8a3d15eea5c5'),
+        |  ('https://site24.example/news/page-24.png', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site25.example/tech/page-25.html', 33, 21, 3, 'fd3673d8bc5b199ad72883756804f8aa'),
+        |  ('https://site26.example/science/page-26.html', 25, 8, 3, '7357eaa1d8f246bbd19594acdd1a9007'),
+        |  ('https://site27.example/blog/page-27.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site28.example/docs/page-28.docx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site29.example/market/page-29.html', 20, 6, 3, 'c4f52bbb943da19cff4fd87e8b66ddb4'),
+        |  ('https://site3.example/blog/page-3.docx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site30.example/news/page-30.html', 26, 12, 3, 'ca9ac3e0decd6dd616e9db187323fda6'),
+        |  ('https://site31.example/tech/page-31.html', 18, 5, 3, 'e12db98e02372624a6078f57265c57d2'),
+        |  ('https://site32.example/science/page-32.html', 24, 8, 3, 'df3351f6395f4513458d7bf520f73698'),
+        |  ('https://site33.example/blog/page-33.html', 19, 7, 3, '01c8a4683620d0d2806588c3754225d1'),
+        |  ('https://site34.example/docs/page-34.md', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site35.example/market/page-35.html', 21, 7, 3, 'fcd8c7bc1635ea1047e3fb9fe34cdf16'),
+        |  ('https://site36.example/news/page-36.html', 26, 14, 3, '1a236f052fe1e3e3d3fe128358137066'),
+        |  ('https://site37.example/tech/page-37.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site38.example/science/page-38.xlsx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site39.example/blog/page-39.html', 134, 123, 3, '6f5220fe046c0bb6425347aef313e4f1'),
+        |  ('https://site4.example/docs/page-4.html', 171, 158, 3, 'd8b617b175b4d13e408ec061a78987d4'),
+        |  ('https://site40.example/docs/page-40.html', 22, 5, 3, '73f3458c68e728aef5446844e7b50943'),
+        |  ('https://site41.example/market/page-41.adoc', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site42.example/news/page-42.html', 22, 9, 3, '03160fc26fbaa73bee043e4f08cd3e09'),
+        |  ('https://site43.example/tech/page-43.html', 20, 4, 3, 'a68ddb97a257c59c107e8748a7cb7855'),
+        |  ('https://site44.example/science/page-44.html', 22, 5, 3, 'd5bcb5b9d1e9c8b9d869454b440e1370'),
+        |  ('https://site45.example/blog/page-45.html', 22, 9, 3, 'e839638d8716dbaa526fc8544833d6f4'),
+        |  ('https://site46.example/docs/page-46.pptx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site47.example/market/page-47.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site48.example/news/page-48.html', 20, 4, 3, 'e83dcb1bbd654d135128086fc56252a6'),
+        |  ('https://site49.example/tech/page-49.png', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site5.example/market/page-5.html', 24, 8, 3, '9ececd221cf7ae1243d26cb729d04ef1'),
+        |  ('https://site50.example/science/page-50.html', 19, 7, 3, 'f1806d7c3e3981ec0f10cd5c2b5576ac'),
+        |  ('https://site51.example/blog/page-51.html', 22, 6, 3, '1cc665dc793aac43fdfe9dfa251e34f4'),
+        |  ('https://site52.example/docs/page-52.html', 25, 11, 3, '8e45c806f119428b4cc2ed4ff492ad40'),
+        |  ('https://site53.example/market/page-53.docx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site54.example/news/page-54.html', 15, 3, 3, '15f2176e64cb07f8e8a1577a7fbfa79d'),
+        |  ('https://site55.example/tech/page-55.html', 20, 4, 3, '12467f39466ee7f493b197bf105bb4d8'),
+        |  ('https://site56.example/science/page-56.html', 31, 20, 3, 'a8158f49fa876e2c978b3d7f4adbb1e4'),
+        |  ('https://site57.example/blog/page-57.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site58.example/docs/page-58.html', 26, 9, 3, '5ea1813a50fa65924651a8a3859484c0'),
+        |  ('https://site59.example/market/page-59.md', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site6.example/news/page-6.html', 20, 5, 3, '79b2f8b6f223c543a74db6020351a301'),
+        |  ('https://site60.example/news/page-60.html', 25, 12, 3, 'ee100421ad152422ee601322e8c94fa6'),
+        |  ('https://site61.example/tech/page-61.html', 16, 3, 3, '9fa44707d0099e060875002fdc6e6519'),
+        |  ('https://site62.example/science/page-62.html', 14, 2, 3, 'daee3459e474c6df41e3fc0543a5dea8'),
+        |  ('https://site63.example/blog/page-63.xlsx', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site7.example/tech/page-7.pdf', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e'),
+        |  ('https://site8.example/science/page-8.html', 14, 2, 3, '797cdc8225076cbf4cdef0115be92e1d'),
+        |  ('https://site9.example/blog/page-9.md', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e')
+        |) t(url, n_links, n_external, n_hosts, hosts_md5) ORDER BY url
+""".stripMargin,
 
     // Pinned per-kind media-container stats over the pinned 600-row media
     // corpus (PNG IHDR / WAV fmt / video header parsing + stub-feature
@@ -322,5 +430,6 @@ object ExtractionQueries {
     "x_extract_emb64" -> (xExtractEmb64 _),
     "x_doc_types" -> (xDocTypes _),
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
+    "x_links64" -> (xLinks64 _),
   )
 }
