@@ -71,6 +71,18 @@ class GraphSpec extends AnyFunSuite {
     assert(total > 0L && total <= GraphQueries.Scale)
   }
 
+  test("PageRank loop truncates lineage per round (plan must not grow with iterations)") {
+    import spark.implicits._
+    val nodes = (0L until 10L).toDF("node")
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = GraphQueries.pageRank(nodes, edges, 8)
+    // final frame = checkpointed ranks joined once with the (checkpointed)
+    // outdeg side — a handful of plan lines, never 8 nested join trees
+    val planLines = r.queryExecution.logical.treeString.linesIterator.size
+    assert(planLines <= 16,
+      s"expected a flat post-checkpoint plan, got $planLines lines:\n${r.queryExecution.logical.treeString}")
+  }
+
   test("derived corpus graph: deterministic, self-loop-free, distinct") {
     val e = GraphQueries.qLinkGraph(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
