@@ -89,19 +89,29 @@ object GraphQueries {
     val e = TrainingDataQueries.eagerCheckpoint(
       edgesIn.join(edgesIn.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src"))
     val tele = Scale * 15L / 100L / n
-    var r = nodes.withColumn("pr", lit(Scale / n))
-    var k = 0
-    while (k < iters) {
+    // one synchronous iteration as a plan fragment
+    def step(cur: DataFrame): DataFrame = {
       val sums = e
-        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(cur.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = TrainingDataQueries.eagerCheckpoint(
-        nodes
-          .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
-          .select(col("node"), expr(s"$tele + (85 * coalesce(s, 0)) div 100").as("pr")))
-      k += 1
+      nodes
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), expr(s"$tele + (85 * coalesce(s, 0)) div 100").as("pr"))
     }
+    var r = nodes.withColumn("pr", lit(Scale / n))
+    var k = 0
+    // TWO iterations per checkpoint round halves the checkpoint jobs and
+    // per-round codegen events (the connectedComponents lever, SURVEY
+    // §10.4). Measured at sf0.1/local[32]: warm ~3.0 s either way — the
+    // remaining floor is per-SHUFFLE-STAGE scheduling overhead (fusion
+    // doesn't change the stage count, only the checkpoint count), which
+    // amortizes away at real scale where stages are data-bound.
+    while (k + 2 <= iters) {
+      r = TrainingDataQueries.eagerCheckpoint(step(step(r)))
+      k += 2
+    }
+    if (k < iters) r = TrainingDataQueries.eagerCheckpoint(step(r))
     r.join(e.select(col("src").as("node"), col("outdeg")).distinct(), Seq("node"), "left")
       .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"), col("pr"))
   }
