@@ -214,21 +214,28 @@ object ExtractionQueries {
     * documents carry no links and pin to zeros + the empty-string md5.
     * Oracle values generated by scripts/links_oracle_gen.py under the
     * golden audit discipline. */
-  def xLinks64(spark: SparkSession, dir: String): DataFrame = {
+  /** (n_links, n_external, resolved target hosts) per page; non-HTML
+    * documents carry no links. Shared by xLinks64 / xHostRank64. */
+  private val linkUdf = udf((url: String, html: Array[Byte]) => {
+    import graft.model.DocumentType
+    if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
+      val root = graft.html.TreeBuilder.parse(
+        new String(html, java.nio.charset.StandardCharsets.UTF_8))
+      val (n, ext, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
+      (n, ext, hosts)
+    } else (0, 0, Vector.empty[String])
+  })
+
+  private def pinnedLinks(spark: SparkSession, dir: String): DataFrame = {
     val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
-    val linkUdf = udf((url: String, html: Array[Byte]) => {
-      import graft.model.DocumentType
-      if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
-        val root = graft.html.TreeBuilder.parse(
-          new String(html, java.nio.charset.StandardCharsets.UTF_8))
-        val (n, ext, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
-        (n, ext, hosts)
-      } else (0, 0, Vector.empty[String])
-    })
     pagesDs(spark, dir).toDF()
       .where(col("url").isin(pinned: _*))
       .dropDuplicates("url")
       .select(col("url"), linkUdf(col("url"), col("html")).as("r"))
+  }
+
+  def xLinks64(spark: SparkSession, dir: String): DataFrame =
+    pinnedLinks(spark, dir)
       .select(
         col("url"),
         col("r._1").as("n_links"),
@@ -237,6 +244,32 @@ object ExtractionQueries {
         md5(concat_ws(",", col("r._3")).cast("binary")).as("hosts_md5"),
       )
       .orderBy(col("url"))
+
+  /** End-to-end web-graph composition, fully hard-checked: REAL link
+    * extraction ([[xLinks64]]'s parse → anchor → host resolution) over the
+    * pinned 64-url set, host-level edge aggregation (self-loops dropped,
+    * parallel edges collapsed), then the integer fixed-point PageRank of
+    * [[GraphQueries.pageRank]] on the resulting host graph. Every stage is
+    * independently oracled (x_links64 pins extraction, q_pagerank pins the
+    * iteration); this pins their composition — parser drift, host-graph
+    * shape, and rank arithmetic all flip pinned integers. 4 iterations:
+    * the pinned host graph is star-shaped (page hosts → ads/ref), deeper
+    * iteration only re-truncates the same fixed point. Nodes = the 64 page
+    * hosts ∪ all edge endpoints (isolated hosts rank at teleport mass). */
+  def xHostRank64(spark: SparkSession, dir: String): DataFrame = {
+    val pageHostUdf = udf((url: String) => graft.html.LinkExtractor.hostOf(url).getOrElse(""))
+    val links = pinnedLinks(spark, dir)
+    val edges = links
+      .select(pageHostUdf(col("url")).as("src"), explode(col("r._3")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val nodes = links.select(pageHostUdf(col("url")).as("node"))
+      .union(edges.select(col("src").as("node")))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    GraphQueries.pageRank(nodes, edges, iters = 4)
+      .withColumnRenamed("node", "host")
+      .orderBy(col("host"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -337,6 +370,81 @@ object ExtractionQueries {
         |) t(url, n_links, n_external, n_hosts, hosts_md5) ORDER BY url
 """.stripMargin,
 
+    // Pinned host-graph PageRank over the links of the 64 pinned urls
+    // (extraction -> host edges -> integer PageRank composition).
+    // Regenerate ONLY on deliberate link/graph-semantics change:
+    // scripts/hostrank_oracle_gen.py, eyeball, commit.
+    "x_host_rank64" ->
+      """
+        |SELECT * FROM (VALUES
+        |  ('ads.example', 0, 44772727258),
+        |  ('ref.example', 0, 42840909077),
+        |  ('site0.example', 2, 2272727272),
+        |  ('site1.example', 2, 2272727272),
+        |  ('site10.example', 2, 2272727272),
+        |  ('site11.example', 2, 2272727272),
+        |  ('site12.example', 2, 2272727272),
+        |  ('site13.example', 0, 2272727272),
+        |  ('site14.example', 1, 2272727272),
+        |  ('site15.example', 2, 2272727272),
+        |  ('site16.example', 0, 2272727272),
+        |  ('site17.example', 0, 2272727272),
+        |  ('site18.example', 2, 2272727272),
+        |  ('site19.example', 2, 2272727272),
+        |  ('site2.example', 2, 2272727272),
+        |  ('site20.example', 2, 2272727272),
+        |  ('site21.example', 0, 2272727272),
+        |  ('site22.example', 2, 2272727272),
+        |  ('site23.example', 2, 2272727272),
+        |  ('site24.example', 0, 2272727272),
+        |  ('site25.example', 2, 2272727272),
+        |  ('site26.example', 2, 2272727272),
+        |  ('site27.example', 0, 2272727272),
+        |  ('site28.example', 0, 2272727272),
+        |  ('site29.example', 2, 2272727272),
+        |  ('site3.example', 0, 2272727272),
+        |  ('site30.example', 2, 2272727272),
+        |  ('site31.example', 2, 2272727272),
+        |  ('site32.example', 2, 2272727272),
+        |  ('site33.example', 2, 2272727272),
+        |  ('site34.example', 0, 2272727272),
+        |  ('site35.example', 2, 2272727272),
+        |  ('site36.example', 2, 2272727272),
+        |  ('site37.example', 0, 2272727272),
+        |  ('site38.example', 0, 2272727272),
+        |  ('site39.example', 2, 2272727272),
+        |  ('site4.example', 2, 2272727272),
+        |  ('site40.example', 2, 2272727272),
+        |  ('site41.example', 0, 2272727272),
+        |  ('site42.example', 2, 2272727272),
+        |  ('site43.example', 2, 2272727272),
+        |  ('site44.example', 2, 2272727272),
+        |  ('site45.example', 2, 2272727272),
+        |  ('site46.example', 0, 2272727272),
+        |  ('site47.example', 0, 2272727272),
+        |  ('site48.example', 2, 2272727272),
+        |  ('site49.example', 0, 2272727272),
+        |  ('site5.example', 2, 2272727272),
+        |  ('site50.example', 2, 2272727272),
+        |  ('site51.example', 2, 2272727272),
+        |  ('site52.example', 2, 2272727272),
+        |  ('site53.example', 0, 2272727272),
+        |  ('site54.example', 2, 2272727272),
+        |  ('site55.example', 2, 2272727272),
+        |  ('site56.example', 2, 2272727272),
+        |  ('site57.example', 0, 2272727272),
+        |  ('site58.example', 2, 2272727272),
+        |  ('site59.example', 0, 2272727272),
+        |  ('site6.example', 2, 2272727272),
+        |  ('site60.example', 2, 2272727272),
+        |  ('site61.example', 2, 2272727272),
+        |  ('site62.example', 2, 2272727272),
+        |  ('site63.example', 0, 2272727272),
+        |  ('site7.example', 0, 2272727272),
+        |  ('site8.example', 2, 2272727272),
+        |  ('site9.example', 0, 2272727272)
+        |) t(host, outdeg, pr) ORDER BY host""".stripMargin.trim,
+
     // Pinned per-kind media-container stats over the pinned 600-row media
     // corpus (PNG IHDR / WAV fmt / video header parsing + stub-feature
     // digest, sf-invariant). Regenerate: scripts/media_oracle_gen.py.
@@ -431,5 +539,6 @@ object ExtractionQueries {
     "x_doc_types" -> (xDocTypes _),
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
     "x_links64" -> (xLinks64 _),
+    "x_host_rank64" -> (xHostRank64 _),
   )
 }

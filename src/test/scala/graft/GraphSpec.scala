@@ -83,6 +83,20 @@ class GraphSpec extends AnyFunSuite {
       s"expected a flat post-checkpoint plan, got $planLines lines:\n${r.queryExecution.logical.treeString}")
   }
 
+  test("host-graph composition: link sinks out-rank teleport-only hosts, sf-invariant rows") {
+    val rows = graft.queries.ExtractionQueries.xHostRank64(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byHost = rows.map(r => r._1 -> r).toMap
+    assert(byHost.contains("ads.example") && byHost.contains("ref.example"))
+    // ad/reference hosts are pure sinks: no outlinks, collect link mass
+    val teleOnly = rows.map(_._3).min
+    Seq("ads.example", "ref.example").foreach { h =>
+      assert(byHost(h)._2 == 0L && byHost(h)._3 > teleOnly)
+    }
+    // every page host is present even when its page carried no links
+    assert(rows.count(_._1.startsWith("site")) == 64)
+  }
+
   test("derived corpus graph: deterministic, self-loop-free, distinct") {
     val e = GraphQueries.qLinkGraph(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
