@@ -126,12 +126,18 @@ object Bench {
     val extractSec =
       (if (headlineClean) extractRuns.filter(clean) else extractRuns).map(_._1).min
     val pagesPerSec = nPages / extractSec
+    // headline_clean only certifies the steal counter was quiet — co-tenant
+    // MEMORY-BANDWIDTH contention doesn't tick steal and has measured 4-5x
+    // swings on this host (BENCH.md methodology). The explicit ratio vs the
+    // recorded clean best makes a depressed-but-steal-quiet run
+    // self-describing without hiding the measured number.
+    val vsCleanBest = pagesPerSec / cleanBestPrior
     val stealDelta = stealTicks() - steal0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"headline_clean":$headlineClean%b,"clean_best_prior_pages_per_sec":$cleanBestPrior%.1f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"headline_clean":$headlineClean%b,"clean_best_prior_pages_per_sec":$cleanBestPrior%.1f,"headline_vs_clean_best":$vsCleanBest%.3f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
     spark2.stop()
   }
 }

@@ -426,9 +426,111 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- BPE vocab induction
+
+  /** Distributed BPE vocabulary induction (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units") — the
+    * tokenizer-training step of an LLM data pipeline, run the way real BPE
+    * trainers run: over the WORD-FREQUENCY table (vocabulary-sized, ≪
+    * corpus), not the raw text. Each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the most frequent pair
+    * (count desc, then lexicographic — deterministic), and merges it
+    * corpus-wide. Output = the learned merge table, the artifact a
+    * tokenizer ships.
+    *
+    * Cross-engine exactness: symbols are wrapped as `(sym)` so the merge
+    * is a LITERAL string replace — left-to-right non-overlapping in both
+    * engines, which is exactly canonical BPE's merge order, and the
+    * delimiters make partial-symbol false matches impossible (words are
+    * restricted to [a-z0-9]+, so `()` never collides). The DuckDB oracle
+    * unrolls the rounds into chained CTEs (the q_pagerank recipe).
+    *
+    * Scale shape: the per-round argmax is a driver-side LIMIT 1 collect of
+    * ONE row (bounded by construction — the IVF-medoid discipline); pair
+    * counting is a map-side-combined aggregation over the vocab table;
+    * the merge is a map-only literal replace. The corpus is touched once
+    * (word count); every round after that is vocabulary-sized. */
+  def qBpeMerges(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
+    bpeMerges(docs(spark, dir), merges)
+
+  def bpeMerges(d: DataFrame, merges: Int): DataFrame = {
+    val spark = d.sparkSession
+    val words = d
+      .select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = TrainingDataQueries.eagerCheckpoint(
+      words.select(regexp_replace(col("word"), "(.)", "($1)").as("seq"), col("freq")))
+    val out = collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val pairs = vocab
+        .select(col("freq"), split(expr("substring(seq, 2, length(seq) - 2)"), "\\)\\(").as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS lhs, element_at(syms, i + 1) AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+      val best = pairs.orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        // symbols come from [a-z0-9]+ words, so direct SQL interpolation is
+        // injection-safe by construction; assert the invariant anyway
+        require(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"), s"unexpected symbol: '$l' '$r'")
+        out += ((step, l, r, c))
+        vocab = TrainingDataQueries.eagerCheckpoint(
+          vocab.select(expr(s"replace(seq, '($l)($r)', '($l$r)')").as("seq"), col("freq")))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy(col("step"))
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
+  /** The BPE rounds unrolled as chained CTEs: per round, pair counts over
+    * the current vocab encoding, the deterministic argmax, and the merged
+    * re-encoding — exactly [[bpeMerges]]'s loop in SQL. */
+  private def bpeOracle(merges: Int): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS cnt
+         |  FROM (
+         |    SELECT freq, syms, unnest(generate_series(1, len(syms) - 1)) AS i
+         |    FROM (SELECT freq, string_split(seq[2:-2], ')(') AS syms FROM v${k - 1})
+         |    WHERE len(syms) >= 2
+         |  ) GROUP BY 1, 2
+         |), b$k AS (
+         |  SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1
+         |), v$k AS (
+         |  SELECT replace(seq, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                 '(' || b.lhs || b.rhs || ')') AS seq, freq
+         |  FROM v${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to merges)
+      .map(k => s"SELECT $k AS step, lhs, rhs, cnt::BIGINT AS pair_count FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, count(*) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+       |    FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1
+       |), v0 AS (
+       |  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, freq FROM w0
+       |),
+       |$rounds
+       |$sel
+       |ORDER BY step""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracle(10),
+
     "q_lm_score" ->
       """WITH w AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
@@ -625,5 +727,6 @@ object CurationQueries {
     "q_mix_weights" -> ((s: SparkSession, d: String) => qMixWeights(s, d)),
     "q_domain_cap" -> ((s: SparkSession, d: String) => qDomainCap(s, d)),
     "q_lm_score" -> (qLmScore _),
+    "q_bpe_merges" -> ((s: SparkSession, d: String) => qBpeMerges(s, d)),
   )
 }

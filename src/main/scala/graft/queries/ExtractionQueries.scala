@@ -258,7 +258,11 @@ object ExtractionQueries {
     * hosts ∪ all edge endpoints (isolated hosts rank at teleport mass). */
   def xHostRank64(spark: SparkSession, dir: String): DataFrame = {
     val pageHostUdf = udf((url: String) => graft.html.LinkExtractor.hostOf(url).getOrElse(""))
-    val links = pinnedLinks(spark, dir)
+    // checkpoint the 64-row link table: edges + nodes + every PageRank
+    // round reference it, and without the cut each reference re-filters
+    // and re-parses from the pages scan (measured 6.8 s -> the corpus is
+    // touched once and the rest is 66-row arithmetic)
+    val links = graft.queries.TrainingDataQueries.eagerCheckpoint(pinnedLinks(spark, dir))
     val edges = links
       .select(pageHostUdf(col("url")).as("src"), explode(col("r._3")).as("dst"))
       .where(col("src") =!= col("dst"))

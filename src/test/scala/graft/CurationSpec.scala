@@ -218,6 +218,30 @@ class CurationSpec extends AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
 
+  // ------------------------------------------------------------ BPE merges
+
+  test("bpe: hand-computed merge sequence on a crafted corpus") {
+    import spark.implicits._
+    // words: aa (freq 2), ab (freq 1)
+    // round 1: pairs (a,a)=2 (a,b)=1 -> merge (a,a) count 2
+    // round 2: pairs (a,b)=1        -> merge (a,b) count 1
+    // round 3: no pairs left        -> stop (fewer rows than merge budget)
+    val df = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val got = CurationQueries.bpeMerges(df, merges = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+  }
+
+  test("bpe: left-to-right non-overlapping merge order (canonical BPE on runs)") {
+    import spark.implicits._
+    // "aaaa" merges as [aa][aa], never [a][aa][a]; freq-weighted counts:
+    // round 1 pairs within aaaa: (a,a) x3, x2 docs -> cnt 6
+    val df = Seq((0L, "aaaa"), (1L, "aaaa")).toDF("doc_id", "text")
+    val got = CurationQueries.bpeMerges(df, merges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
+
   test("lm score: corpus run is total, non-negative, and repetitive docs score low") {
     val rows = CurationQueries.qLmScore(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
