@@ -67,6 +67,46 @@ object LinkExtractor {
     out.result()
   }
 
+  /** Renderer-valid anchors with their subtree text, document order:
+    * (href, whitespace-normalized concatenated text). A nested anchor's
+    * text contributes to both its own entry and the enclosing anchor's
+    * (subtree semantics — deterministic and the common harvest choice). */
+  def anchors(root: Node): Vector[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
+    def subtreeText(n: Node, sb: StringBuilder): Unit = n match {
+      case t: TextNode => sb.append(t.text).append(' ')
+      case e: Element => e.children.foreach(subtreeText(_, sb))
+    }
+    def rec(n: Node): Unit = n match {
+      case e: Element =>
+        if (e.name == "a") {
+          val h = e.attrOrNull("href")
+          if (h != null && h.nonEmpty && !h.startsWith("#") && !h.startsWith("javascript:")) {
+            val sb = new StringBuilder
+            subtreeText(e, sb)
+            out += ((h, sb.result().trim.split("\\s+").filter(_.nonEmpty).mkString(" ")))
+          }
+        }
+        e.children.foreach(rec)
+      case _ =>
+    }
+    rec(root)
+    out.result()
+  }
+
+  /** Anchor text per resolved target host, document order: (host, text).
+    * Same host-resolution rules as [[linkSummary]]. */
+  def anchorsByHost(root: Node, pageUrl: String): Vector[(String, String)] = {
+    val pageHost = hostOf(pageUrl).getOrElse("")
+    anchors(root).flatMap { case (h, text) =>
+      hostOf(h) match {
+        case Some(th) => Some((th, text))
+        case None =>
+          if (!hasNonHttpScheme(h) && pageHost.nonEmpty) Some((pageHost, text)) else None
+      }
+    }
+  }
+
   /** Per-page link summary: renderer-valid link count, external-host link
     * count, and the resolved target hosts in document order (non-http
     * schemes omitted — they have no host edge). */

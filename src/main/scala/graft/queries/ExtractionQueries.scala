@@ -276,6 +276,41 @@ object ExtractionQueries {
       .orderBy(col("host"))
   }
 
+  /** Anchor-text aggregation over the pinned 64-url set — the third
+    * link-family signal (after edges and host ranks): per resolved target
+    * host, the anchor term volume, distinct-term count, and an
+    * order-insensitive md5 over the sorted `term:count` list. Anchor text
+    * is the classic external-description signal (search ranking, weak
+    * labels for classifiers); the digest pins tokenization + subtree-text
+    * collection + host attribution in one value. Oracle values via
+    * scripts/anchors_oracle_gen.py (golden discipline, sf-invariant). */
+  def xAnchors64(spark: SparkSession, dir: String): DataFrame = {
+    val anchorUdf = udf((url: String, html: Array[Byte]) => {
+      import graft.model.DocumentType
+      if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
+        val root = graft.html.TreeBuilder.parse(
+          new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        graft.html.LinkExtractor.anchorsByHost(root, url)
+      } else Vector.empty[(String, String)]
+    })
+    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+    pagesDs(spark, dir).toDF()
+      .where(col("url").isin(pinned: _*))
+      .dropDuplicates("url")
+      .select(explode(anchorUdf(col("url"), col("html"))).as("a"))
+      .select(col("a._1").as("host"), explode(filter(split(lower(col("a._2")), "\\s+"), x => x =!= lit(""))).as("term"))
+      .groupBy(col("host"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("host"))
+      .agg(
+        sum(col("cnt")).as("n_terms"),
+        count(lit(1)).as("n_distinct_terms"),
+        md5(concat_ws(",",
+          array_sort(collect_list(concat(col("term"), lit(":"), col("cnt").cast("string")))))
+          .cast("binary")).as("terms_md5"),
+      )
+      .orderBy(col("host"))
+  }
+
   val oracles: Map[String, String] = Map(
     // Pinned per-type envelope stats over the same 64 urls (chunking /
     // table-extraction / page-count hard check). Regenerate:
@@ -449,6 +484,59 @@ object ExtractionQueries {
         |  ('site9.example', 0, 2272727272)
         |) t(host, outdeg, pr) ORDER BY host""".stripMargin.trim,
 
+    // Pinned per-host anchor-text stats over the links of the 64 pinned
+    // urls. Regenerate ONLY on deliberate link/tokenization-semantics
+    // change: scripts/anchors_oracle_gen.py, eyeball, commit.
+    "x_anchors64" ->
+      """
+        |SELECT * FROM (VALUES
+        |  ('ads.example', 172, 4, 'def9b96fd05db486343451724f10353a'),
+        |  ('ref.example', 702, 88, '847ebaed039ea2c64ce5a72dfc514552'),
+        |  ('site0.example', 25, 15, '0d097e7ab8fbf16a9c60ce2e697193d9'),
+        |  ('site1.example', 26, 15, '33d04c86889d1c487eb03c9af0ec754c'),
+        |  ('site10.example', 23, 14, 'a4c5d36b240d366585b81c4581ae9a6b'),
+        |  ('site11.example', 23, 12, 'a3a6340fc2a46269ea39e8c235b18e92'),
+        |  ('site12.example', 28, 15, 'cab3532694a92a606eddbfe66c630cf1'),
+        |  ('site14.example', 22, 14, '135422cdd77b31c0f9926f9774b185e5'),
+        |  ('site15.example', 18, 13, '5c191da357158964c45c32f6acbd65ce'),
+        |  ('site18.example', 21, 15, 'b66f6c6f89e4c4df8a5631cea98a5f5b'),
+        |  ('site19.example', 23, 15, 'bb2c35860f9c057eedf13c4972d525a8'),
+        |  ('site2.example', 19, 12, '5749f94fd4ab62abdd442662986ea5b3'),
+        |  ('site20.example', 17, 13, 'c1e4e1104a38179a2abb1a3f9a61be92'),
+        |  ('site22.example', 18, 11, '47d5a98f84bd6e139f21bd572434d39c'),
+        |  ('site23.example', 27, 16, '4a95ff8ec17cc0f2a9d6757b2abb231c'),
+        |  ('site25.example', 18, 14, '10f479ae3470bff812d53ff6cca18190'),
+        |  ('site26.example', 29, 17, 'fcc062af05d62e5065248f59dccbaf78'),
+        |  ('site29.example', 24, 13, '84d88f096e5d15f9b68566e865d26be1'),
+        |  ('site30.example', 26, 14, 'd28c5f991c450b0797cceb9d3934e118'),
+        |  ('site31.example', 19, 14, '04224e522aa05322fb23d5e03e02837a'),
+        |  ('site32.example', 28, 15, 'b0fbb445e4029a6710308dd74a9252bb'),
+        |  ('site33.example', 20, 14, 'd2d541ac8e7605b3bae5b628c84c82e9'),
+        |  ('site35.example', 20, 13, 'dfac29063238a67750eaf6174ed6209e'),
+        |  ('site36.example', 22, 13, 'dcf639b6807192272e266038a06291af'),
+        |  ('site39.example', 19, 12, '5fee4e60e6b7ac9ccdff5b08a1e1cd0d'),
+        |  ('site4.example', 19, 13, '54f720930ef42255b28df0a2fa2ef9eb'),
+        |  ('site40.example', 29, 15, '2369dad3813ba2d92d6cd89b27a29846'),
+        |  ('site42.example', 23, 15, '71758a03c9edc4639a946e94b97560c9'),
+        |  ('site43.example', 28, 17, 'eb36a5e2eeb26b90e3b36781ef18ae86'),
+        |  ('site44.example', 29, 18, '4570fe8e500d24f795a5d478c00ff179'),
+        |  ('site45.example', 25, 14, 'ed707bcb385a805ceb40a872bb7fcabf'),
+        |  ('site48.example', 28, 17, '3c5016f97677b1247c11868abfe8f421'),
+        |  ('site5.example', 26, 15, '5083ab7cffeba88413cd599389aa4d35'),
+        |  ('site50.example', 18, 12, '995ed183a9c73b0a05568a432672218e'),
+        |  ('site51.example', 28, 16, '82406435acf83f8ba9b00fafdf304c55'),
+        |  ('site52.example', 26, 15, '3a0a3a50d9a7c1e04d56ad954ace0cc2'),
+        |  ('site54.example', 22, 13, 'ea4d3b29ed4e38234f3c86e9eae757da'),
+        |  ('site55.example', 28, 17, 'eb714a8b86af919f72360e231ff896e2'),
+        |  ('site56.example', 17, 12, 'ee6a58f2686f0daebfd2fb85962a99d8'),
+        |  ('site58.example', 29, 17, '951d4d17e2ce1bc0a2a9b30f3f6e7091'),
+        |  ('site6.example', 23, 14, '365d42d270624258c09d1f130d3c3ad2'),
+        |  ('site60.example', 25, 13, 'b82db37c6fbd7e2fabeb54510f849225'),
+        |  ('site61.example', 21, 13, 'fe56d65efc1a2a352d7ae05ab03f0203'),
+        |  ('site62.example', 22, 12, '4c415eb399ceb5a803fe3b2bebc8760c'),
+        |  ('site8.example', 20, 13, '75b8e06a932d22d7937929ccb386611b')
+        |) t(host, n_terms, n_distinct_terms, terms_md5) ORDER BY host""".stripMargin.trim,
+
     // Pinned per-kind media-container stats over the pinned 600-row media
     // corpus (PNG IHDR / WAV fmt / video header parsing + stub-feature
     // digest, sf-invariant). Regenerate: scripts/media_oracle_gen.py.
@@ -544,5 +632,6 @@ object ExtractionQueries {
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
     "x_links64" -> (xLinks64 _),
     "x_host_rank64" -> (xHostRank64 _),
+    "x_anchors64" -> (xAnchors64 _),
   )
 }
