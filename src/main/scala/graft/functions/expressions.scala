@@ -56,9 +56,45 @@ case class MagicDocType(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `host_of(url)` — deterministic authority-host extraction (the link
+  * family's resolution rule: absolute http(s)/protocol-relative urls
+  * yield their lowercased host, userinfo/port stripped; everything else
+  * is NULL). Unlike the two kernels above it can produce NULL from a
+  * non-null input, so codegen uses nullSafeCodeGen with an explicit
+  * isNull branch instead of defineCodeGen. */
+case class HostOf(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "host_of"
+
+  override def nullSafeEval(input: Any): Any = {
+    val h = graft.html.LinkExtractor.hostOfOrNull(input.asInstanceOf[UTF8String].toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val h = ctx.freshName("host")
+      s"""
+         |String $h = graft.html.LinkExtractor.hostOfOrNull($c.toString());
+         |if ($h == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($h);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HostOf =
+    copy(child = newChild)
+}
+
 /** Session extension injecting the functions into the registry — sessions
-  * built by GraftSession get `markdown_strip` / `magic_doc_type` in both
-  * the SQL parser and (via call_function) the Column API. */
+  * built by GraftSession get `markdown_strip` / `magic_doc_type` /
+  * `host_of` in both the SQL parser and (via call_function) the Column
+  * API. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.SparkSessionExtensions
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -73,6 +109,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("magic_doc_type"),
       new ExpressionInfo(classOf[MagicDocType].getName, "magic_doc_type"),
       (exprs: Seq[Expression]) => MagicDocType(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("host_of"),
+      new ExpressionInfo(classOf[HostOf].getName, "host_of"),
+      (exprs: Seq[Expression]) => HostOf(exprs.head)))
   }
 }
 
@@ -84,4 +124,6 @@ object GraftFunctions {
 
   def magic_doc_type(bytes: Column, url: Column): Column =
     call_function("magic_doc_type", bytes, url)
+
+  def host_of(url: Column): Column = call_function("host_of", url)
 }

@@ -16,6 +16,11 @@ package graft.html
   */
 object LinkExtractor {
 
+  /** Null-returning variant for the codegen path of the `host_of`
+    * Catalyst expression (graft.functions.HostOf) — java codegen can't
+    * pattern-match scala Options. */
+  def hostOfOrNull(url: String): String = hostOf(url).orNull
+
   /** Host of an absolute http(s)/protocol-relative url, else None. */
   def hostOf(url: String): Option[String] = {
     val rest =

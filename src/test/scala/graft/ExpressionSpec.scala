@@ -65,4 +65,32 @@ class ExpressionSpec extends AnyFunSuite {
       .select(GraftFunctions.markdown_strip(org.apache.spark.sql.functions.col("md")).as("t"))
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("host_of: eval parity with LinkExtractor, NULL for host-less, codegen-only execution") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val urls = Seq(
+      "https://User:pw@Host.Example:8443/x?q=1",
+      "HTTP://a.b/x",
+      "//cdn.example/lib.js",
+      "/relative/only",
+      "mailto:x@y.example",
+      null,
+    )
+    // Range-joined source so codegen must execute the expression
+    val df = spark.range(urls.size)
+      .select(element_at(typedLit(urls), (col("id") + 1).cast("int")).as("u"))
+      .select(GraftFunctions.host_of(col("u")).as("h"))
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val got =
+      try df.collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    val want = urls.map(u => if (u == null) null else graft.html.LinkExtractor.hostOfOrNull(u))
+    assert(got == want)
+    assert(got(0) == "host.example" && got(3) == null && got(4) == null)
+    // SQL registration
+    val viaSql = spark.sql("SELECT host_of('https://Q.Example/p')").collect()(0).getString(0)
+    assert(viaSql == "q.example")
+  }
 }
