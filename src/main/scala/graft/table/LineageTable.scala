@@ -83,11 +83,72 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       "committed_at_ms" -> System.currentTimeMillis(),
       "data_dirs" -> dataDirs,
       "lineage_dirs" -> lineageDirs,
+      "schema_version" -> schemaVersion,
       "parent" -> currentSnapshotId.map(_.asInstanceOf[Any]).orNull,
     ) ++ extra
     atomicWrite(p("_manifests", s"snapshot-$id.json"), Json.write(manifest))
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
     id
+  }
+
+  // ------------------------------------------------------ schema evolution
+
+  /** Additive schema evolution (Iceberg `ADD COLUMN ... DEFAULT` analog).
+    * `addColumn` registers a column spec in the versioned _manifests/SCHEMA
+    * list; every read projects each data dir onto the evolved schema with
+    * Iceberg's initial-default semantics: a file committed BEFORE the
+    * column existed (its commit's schema_version < the column's version)
+    * reads the registered default, a file committed after reads its own
+    * values — including genuine nulls, and NULL if its writer omitted the
+    * column. Dir epochs come from the retained manifests (min
+    * schema_version over snapshots referencing the dir), so time travel
+    * and incremental reads project correctly too. Scope: additive only —
+    * rename/drop would ride the same versioned-spec mechanism. Returns the
+    * new schema version. */
+  def addColumn(name: String, sqlType: String, defaultSql: String): Int = {
+    val specs = addedColumns
+    require(!specs.exists(_._1 == name), s"column '$name' already evolved on $root")
+    val next = specs :+ ((name, sqlType, defaultSql))
+    Files.createDirectories(p("_manifests"))
+    atomicWrite(p("_manifests", "SCHEMA"), Json.write(next.map { case (n, t, d) =>
+      Map("name" -> n, "type" -> t, "default" -> d)
+    }))
+    next.size
+  }
+
+  /** Evolved column specs in version order: (name, sqlType, defaultSql).
+    * Spec k (1-based) is schema version k; version 0 = the base schema. */
+  def addedColumns: Seq[(String, String, String)] = {
+    val f = p("_manifests", "SCHEMA")
+    if (!Files.exists(f)) Nil
+    else Json.parse(new String(Files.readAllBytes(f), UTF_8))
+      .asInstanceOf[List[Any]].map { e =>
+        val m = e.asInstanceOf[Map[String, Any]]
+        (String.valueOf(m("name")), String.valueOf(m("type")), String.valueOf(m("default")))
+      }
+  }
+
+  def schemaVersion: Int = addedColumns.size
+
+  /** Schema version each data dir was committed under: the min over
+    * retained manifests referencing it (the dir's first commit). */
+  private def dirEpochs: Map[String, Int] =
+    snapshotIds.foldLeft(Map.empty[String, Int]) { (acc, id) =>
+      val s = snapshot(id)
+      val v = s.get("schema_version").map(x => String.valueOf(x).toDouble.toInt).getOrElse(0)
+      s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf).foldLeft(acc) { (a, d) =>
+        a.updatedWith(d)(old => Some(math.min(old.getOrElse(Int.MaxValue), v)))
+      }
+    }
+
+  /** Project one dir's frame onto the evolved schema given its epoch. */
+  private def applyEvolution(df: DataFrame, epoch: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    addedColumns.zipWithIndex.foldLeft(df) { case (d, ((n, t, default), idx)) =>
+      if (d.columns.contains(n)) d
+      else if (idx + 1 > epoch) d.withColumn(n, expr(default).cast(t))
+      else d.withColumn(n, lit(null).cast(t))
+    }
   }
 
   /** Next id to allocate: max over ALL retained manifests + 1, not
@@ -196,8 +257,13 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     require(nonEmpty.nonEmpty, s"$what contains no data files")
     // one scan per wave dir (each with its own _bucket= partition discovery),
     // unioned — partition pruning applies per branch; a shared catalog table
-    // would replace this at real-cluster scale
-    nonEmpty.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // would replace this at real-cluster scale. Each branch is projected
+    // onto the evolved schema (per-dir epoch) BEFORE the union, so
+    // initial-default vs genuine-null semantics stay per-file-epoch exact.
+    val epochs = if (addedColumns.isEmpty) Map.empty[String, Int] else dirEpochs
+    nonEmpty
+      .map(d => applyEvolution(spark.read.parquet(d), epochs.getOrElse(d, 0)))
+      .reduce(_.unionByName(_))
   }
 
   def readLineage(spark: SparkSession): DataFrame = {
