@@ -274,6 +274,35 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     nonEmpty.map(spark.read.parquet(_)).reduce(_.unionByName(_))
   }
 
+  // --------------------------------------------------------- merge-on-read
+
+  /** Append-commit (Iceberg v2 merge-on-read analog): the new snapshot
+    * references the PREVIOUS snapshot's data/lineage dirs plus the new
+    * run's, so re-extracted keys exist twice physically and reads resolve
+    * them ([[readLatest]]); a later [[compact]] with `resolveLatestBy`
+    * materializes the resolution. Dir-level append-only by construction —
+    * [[changesSince]] keeps working across runs, which a replace-commit
+    * (ExtractJob's default, where each run IS the table) does not offer. */
+  def appendCommit(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String): Long =
+    commitSnapshot(
+      (currentDataDirs ++ dataDirs).distinct,
+      (currentLineageDirs ++ lineageDirs).distinct,
+      runId, extra = Map("append" -> true))
+
+  /** Latest-wins resolution at read: one row per `keyCol`, highest
+    * `versionCol` wins, `tieCol` (descending) breaks exact version ties
+    * deterministically. The merge-on-read half of [[appendCommit]]. */
+  def readLatest(spark: SparkSession, keyCol: String = "url",
+                 versionCol: String = "created_at", tieCol: String = "task_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(versionCol).desc, col(tieCol).desc)
+    readVisible(spark)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   // ------------------------------------------------------------ tombstones
 
   /** Task deletion (reference S6, app/main.py:577-618 — there an O(n) scan
@@ -316,7 +345,8 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * own run's dirs become the visible set.) Readers on the previous
     * snapshot stay consistent (its files are not touched); the superseded
     * dirs age out via [[expireSnapshots]]. Returns the new snapshot id. */
-  def compact(spark: SparkSession, label: String = "compact"): Long = {
+  def compact(spark: SparkSession, label: String = "compact",
+              resolveLatestBy: Option[(String, String)] = None): Long = {
     import org.apache.spark.sql.functions._
     // capture the tombstone set BEFORE the rewrite: a deleteTask() landing
     // mid-compaction must survive the post-commit tombstone rewrite below
@@ -330,7 +360,11 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     val dataDir = s"$root/data/$runId"
     val lineageDir = s"$root/lineage/$runId"
 
-    readVisible(spark)
+    // resolveLatestBy = (keyCol, versionCol): materialize merge-on-read
+    // resolution (appendCommit duplicates collapse physically)
+    resolveLatestBy
+      .map { case (k, v) => readLatest(spark, k, v) }
+      .getOrElse(readVisible(spark))
       .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
 
     val written = spark.read.parquet(dataDir)
