@@ -366,6 +366,30 @@ object StreamingExtract extends Serializable {
     dedupByDigest(scored, "content_md5", md5(col("content")), watermark)
   }
 
+  /** Streaming link harvest: pages → anchor extraction → resolved target
+    * hosts → watermarked tumbling-window in-degree per host — the
+    * continuous analog of the batch link family (x_links64 /
+    * x_host_rank64): a crawl loop watching which hosts accumulate inbound
+    * links right now. Stateless until the windowed count, whose state is
+    * bounded by (windows inside the watermark horizon) × (distinct hosts
+    * seen in them) — never corpus-sized. */
+  def outlinkStream(pages: Dataset[Page], watermark: String = "1 hour",
+                    window_ : String = "10 minutes"): DataFrame = {
+    val edgeUdf = udf((url: String, html: Array[Byte]) => {
+      if (graft.pipeline.TypeDetector.detect(html, url) == graft.model.DocumentType.Html) {
+        val root = graft.html.TreeBuilder.parse(
+          new String(html, java.nio.charset.StandardCharsets.UTF_8))
+        val (_, _, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
+        hosts
+      } else Vector.empty[String]
+    })
+    pages.toDF()
+      .withWatermark("warc_ts", watermark)
+      .select(col("warc_ts"), explode(edgeUdf(col("url"), col("html"))).as("dst_host"))
+      .groupBy(window(col("warc_ts"), window_), col("dst_host"))
+      .agg(count(lit(1)).as("inlinks"))
+  }
+
   /** Watermarked sliding-window stats over a streaming events source —
     * the continuous analog of qAggStats (O5). */
   def eventsWindowedCounts(events: DataFrame, watermark: String = "10 minutes",

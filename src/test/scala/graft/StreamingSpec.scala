@@ -311,4 +311,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
       Seq(("purchase", 1L, 5.0), ("view", 2L, 3.0)))
   }
+
+  test("streaming link harvest: windowed per-host in-degree from real anchor extraction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.outlinkStream(mem.toDS())
+      .select("dst_host", "inlinks")
+      .writeStream.format("memory").queryName("outlinks").outputMode("update").start()
+    val base = 1735689600000L
+    def page(i: Int, html: String) = graft.model.Page(
+      s"https://src$i.example/p$i.html", new java.sql.Timestamp(base + i * 1000),
+      s"<html><body>$html</body></html>".getBytes("UTF-8"), "", "en")
+    mem.addData(
+      page(1, """<a href="https://hub.example/a">x</a><a href="/self">y</a>"""),
+      page(2, """<a href="https://hub.example/b">z</a><a href="javascript:void(0)">no</a>"""),
+      page(3, """no links at all"""),
+    )
+    q.processAllAvailable()
+    val rows = spark.sql("select dst_host, inlinks from outlinks order by dst_host").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    q.stop()
+    // hub.example gets 2 inbound; the relative link resolves to the page's own host
+    assert(rows == Seq(("hub.example", 2L), ("src1.example", 1L)))
+  }
 }
