@@ -119,10 +119,11 @@ object Bench {
     // best CLEAN historical 32-core measurement is carried alongside so a
     // contaminated driver run is self-describing (VERDICT r2 #6). The
     // constant is the accepted clean best from BENCH.md methodology
-    // (99,625 pages/s @ 32 cores, round-3 steal-0 leg, both-legs-clean
-    // discipline); update it when a new clean best is recorded there.
+    // (101,371 pages/s @ 32 cores, round-3 accepted 8→32 run, steal-1
+    // leg, both-legs-clean discipline); update it when a new clean best
+    // is recorded there.
     val headlineClean = extractRuns.exists(clean)
-    val cleanBestPrior = 99625.0
+    val cleanBestPrior = 101371.0
     val extractSec =
       (if (headlineClean) extractRuns.filter(clean) else extractRuns).map(_._1).min
     val pagesPerSec = nPages / extractSec
