@@ -884,6 +884,39 @@ object TrainingDataQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- sparse keyword search
+
+  /** Ranked keyword retrieval — the SPARSE half of the similarity-search
+    * surface (the ANN family is the dense half): inverted-index shape
+    * (term → postings), tf×idf scoring with an INTEGER idf so the DuckDB
+    * oracle is hash-exact: idf(t) = ilog2(N·1024 // df_t) via
+    * `length(bin(x)) − 1` in both engines (the 1024 scale keeps
+    * discrimination when df approaches N, where plain ilog2(N//df) is
+    * uniformly 0). Top-k by (score desc, doc_id) — the tie-break makes
+    * the LIMIT deterministic cross-engine.
+    *
+    * 100 TB shape: the term filter lands in the scan (only query-term
+    * postings leave it), tf is a map-side-combined count, the df/idf
+    * table is |query|-sized and broadcast; nothing corpus-sized shuffles. */
+  def qKeywordSearch(spark: SparkSession, dir: String,
+                     query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
+                     k: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+    val n = d.count()
+    val tf = d
+      .select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
+      .where(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
+    tf.join(broadcast(idf), "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf")).as("score"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ----------------------------------------------------------- oracle SQL
 
   /** Shared CTE text: quantized embedding vectors + integer norms. */
@@ -920,6 +953,22 @@ object TrainingDataQueries {
        |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_keyword_search" ->
+      """WITH q AS (SELECT unnest(['hash','join','stream','window','vector']) AS word),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |w AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf FROM w JOIN q USING (word) GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT word, length(bin(((SELECT n FROM nn) * 1024) // df)) - 1 AS idf
+        |  FROM (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+        |)
+        |SELECT doc_id, sum(tf * idf)::BIGINT AS score, count(*)::BIGINT AS n_terms_hit
+        |FROM tf JOIN idf USING (word)
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
@@ -1276,6 +1325,7 @@ object TrainingDataQueries {
     "q_lang_id" -> (qLangId _),
     "q_fingerprint" -> (qFingerprint _),
     "q_corpus_filter" -> (qCorpusFilter _),
+    "q_keyword_search" -> ((s: SparkSession, d: String) => qKeywordSearch(s, d)),
   )
 }
 
