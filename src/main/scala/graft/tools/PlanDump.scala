@@ -18,7 +18,7 @@ object PlanDump {
       "q_ann_brute_force", "q_ann_lsh", "q_ann_ivf",
       "q_decontaminate", "q_dedup_substring", "q_dedup_segments",
       "q_dedup_incr_bloom", "q_pack_sequences",
-      "q_pagerank", "q_lm_score",
+      "q_pagerank", "q_lm_score", "q_keyword_search",
       "x_extract_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — explain(formatted) of headline queries (")
