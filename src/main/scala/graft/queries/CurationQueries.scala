@@ -455,6 +455,15 @@ object CurationQueries {
 
   def bpeMerges(d: DataFrame, merges: Int): DataFrame = {
     val spark = d.sparkSession
+    import spark.implicits._
+    bpeMergeList(d, merges).toDF("step", "lhs", "rhs", "pair_count").orderBy(col("step"))
+  }
+
+  /** The BPE training loop itself, returning the learned merge table as a
+    * driver-side list (bounded: ≤ `merges` rows of two short symbols each) —
+    * shared by [[bpeMerges]] (ships the table) and [[bpeEncode]] (applies
+    * it to the corpus). */
+  def bpeMergeList(d: DataFrame, merges: Int): Seq[(Int, String, String, Long)] = {
     val words = d
       .select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
       .where(col("word").rlike("^[a-z0-9]+$"))
@@ -485,16 +494,57 @@ object CurationQueries {
         step += 1
       }
     }
-    import spark.implicits._
-    out.toSeq.toDF("step", "lhs", "rhs", "pair_count").orderBy(col("step"))
+    out.toSeq
+  }
+
+  /** BPE ENCODING — apply the learned merge table to every document (the
+    * tokenize step that follows [[qBpeMerges]]'s train step; together they
+    * are the full tokenizer lifecycle of an LLM data pipeline). Each
+    * document's eligible words are paren-wrapped per character and the
+    * merges replay IN TRAINING ORDER as literal replaces — identical
+    * left-to-right non-overlapping semantics in both engines, and the
+    * single-space word separator makes cross-word merges impossible.
+    * Emits per doc the word count, final token count (= '(' occurrences),
+    * and a digest of the full encoding.
+    *
+    * Scale shape: training touches only the vocabulary table (see
+    * [[bpeMergeList]]); encoding is a MAP-ONLY pass over the corpus — the
+    * merge table is ≤ `merges` literal constants folded into one codegen'd
+    * projection (no UDF, no join, no shuffle). This is exactly how
+    * production tokenizers run at 100 TB: train small, apply embarrassingly
+    * parallel. */
+  def qBpeEncode(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
+    bpeEncode(docs(spark, dir), merges)
+
+  def bpeEncode(d: DataFrame, merges: Int): DataFrame = {
+    val table = bpeMergeList(d, merges)
+    // the unrolled oracle replays exactly `merges` rounds — an exhausted
+    // corpus (fewer learnable merges) must fail loud, not silently diverge
+    require(table.size == merges, s"corpus exhausted after ${table.size}/$merges merges")
+    var enc = "array_join(transform(filter(split(lower(text), '\\\\s+')," +
+      " w -> w rlike '^[a-z0-9]+$'), w -> regexp_replace(w, '(.)', '($1)')), ' ')"
+    table.foreach { case (_, l, r, _) =>
+      // symbols proven [a-z0-9]+ by bpeMergeList's require — literal-safe
+      enc = s"replace($enc, '($l)($r)', '($l$r)')"
+    }
+    d.select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$")))
+          .cast("long").as("n_words"),
+        expr(enc).as("enc"))
+      .select(col("doc_id"), col("n_words"),
+        (length(col("enc")) - length(regexp_replace(col("enc"), "\\(", ""))).cast("long").as("n_tokens"),
+        md5(col("enc").cast("binary")).as("enc_md5"))
+      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------------- oracle SQL
 
-  /** The BPE rounds unrolled as chained CTEs: per round, pair counts over
-    * the current vocab encoding, the deterministic argmax, and the merged
-    * re-encoding — exactly [[bpeMerges]]'s loop in SQL. */
-  private def bpeOracle(merges: Int): String = {
+  /** The BPE training rounds unrolled as chained CTEs (w0 → v0 →
+    * p_k/b_k/v_k per round): per round, pair counts over the current vocab
+    * encoding, the deterministic argmax, and the merged re-encoding —
+    * exactly [[bpeMergeList]]'s loop in SQL. Shared by the train and
+    * encode oracles. */
+  private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""p$k AS (
          |  SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(freq) AS cnt
@@ -511,10 +561,7 @@ object CurationQueries {
          |  FROM v${k - 1} CROSS JOIN b$k b
          |)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to merges)
-      .map(k => s"SELECT $k AS step, lhs, rhs, cnt::BIGINT AS pair_count FROM b$k")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, count(*) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
        |    FROM documents)
@@ -523,13 +570,51 @@ object CurationQueries {
        |), v0 AS (
        |  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') AS seq, freq FROM w0
        |),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracle(merges: Int): String = {
+    val sel = (1 to merges)
+      .map(k => s"SELECT $k AS step, lhs, rhs, cnt::BIGINT AS pair_count FROM b$k")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(merges)}
        |$sel
        |ORDER BY step""".stripMargin
   }
 
+  /** Encode oracle: the training CTEs, then every document paren-encoded
+    * and the b_k merges replayed in training order as literal replaces —
+    * [[bpeEncode]]'s fold in SQL. */
+  private def bpeEncodeOracle(merges: Int): String = {
+    val applies = (1 to merges).map { k =>
+      s"""e$k AS (
+         |  SELECT doc_id, n_words,
+         |         replace(enc, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                 '(' || b.lhs || b.rhs || ')') AS enc
+         |  FROM e${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(merges)},
+       |e0 AS (
+       |  SELECT doc_id,
+       |         len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                         w -> regexp_matches(w, '^[a-z0-9]+$$')))::BIGINT AS n_words,
+       |         array_to_string(list_transform(
+       |           list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       w -> regexp_matches(w, '^[a-z0-9]+$$')),
+       |           w -> regexp_replace(w, '(.)', '(\\1)', 'g')), ' ') AS enc
+       |  FROM documents
+       |),
+       |$applies
+       |SELECT doc_id, n_words,
+       |       (length(enc) - length(replace(enc, '(', '')))::BIGINT AS n_tokens,
+       |       md5(enc) AS enc_md5
+       |FROM e$merges ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(10),
+    "q_bpe_encode" -> bpeEncodeOracle(10),
 
     "q_lm_score" ->
       """WITH w AS (
@@ -728,5 +813,6 @@ object CurationQueries {
     "q_domain_cap" -> ((s: SparkSession, d: String) => qDomainCap(s, d)),
     "q_lm_score" -> (qLmScore _),
     "q_bpe_merges" -> ((s: SparkSession, d: String) => qBpeMerges(s, d)),
+    "q_bpe_encode" -> ((s: SparkSession, d: String) => qBpeEncode(s, d)),
   )
 }

@@ -700,6 +700,25 @@ object TrainingDataQueries {
     * ≤ 8k keys. */
   def qTopicClusters(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+    assignToMedoids(e)
+      .select(col("vec_id"), col("list_id"), col("cent_cos_q").as("cos_q"))
+      .groupBy(col("list_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("vec_id")).as("min_vec_id"),
+        sum(col("cos_q")).as("sum_cos_q"),
+      )
+      .orderBy(col("list_id"))
+  }
+
+  /** The bounded-medoid coarse quantizer shared by [[qTopicClusters]] and
+    * [[qSemDedup]]: md5-selected medoids ([[medoidModulus]] keeps the
+    * driver collect ≤ ~8k rows at ANY corpus size), broadcast, then one
+    * fused map-only pass emitting (vec_id, nearest medoid id, quantized
+    * cosine to it). Argmax ties → smallest medoid id (ascending iteration
+    * + strict >), mirrored by the oracles' `ORDER BY c DESC, c_id` rank. */
+  private def assignToMedoids(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     val total = e.count() // parquet count-star: row-group metadata, no scan
     val mod = medoidModulus(total)
     def isMedoidId(id: Long): Boolean =
@@ -709,8 +728,6 @@ object TrainingDataQueries {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
     require(medoids.nonEmpty, "no medoid centroids selected")
     val bc = spark.sparkContext.broadcast(medoids)
-    // one fused pass: (nearest medoid id, quantized cosine to it) per row;
-    // argmax ties -> smallest medoid id (ascending iteration + strict >)
     val assignUdf = udf((v: Seq[Float]) => {
       val ms = bc.value
       var best = ms(0)._1
@@ -724,14 +741,54 @@ object TrainingDataQueries {
       (best, math.floor(bestCos * 10000d + 0.5d).toLong)
     })
     e.withColumn("a", assignUdf(col("embedding")))
-      .select(col("vec_id"), col("a._1").as("list_id"), col("a._2").as("cos_q"))
-      .groupBy(col("list_id"))
-      .agg(
-        count(lit(1)).as("n_vecs"),
-        min(col("vec_id")).as("min_vec_id"),
-        sum(col("cos_q")).as("sum_cos_q"),
-      )
-      .orderBy(col("list_id"))
+      .select(col("vec_id"), col("a._1").as("list_id"), col("a._2").as("cent_cos_q"),
+        col("embedding"))
+  }
+
+  /** Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): cluster the
+    * embedding space with the bounded coarse quantizer, then within each
+    * cluster mark as duplicates every vector that has cosine ≥ `threshold`
+    * to a PREFERRED cluster-mate — the paper's keep-low-centroid-similarity
+    * policy made deterministic: j is preferred over i iff
+    * (cent_cos_q_j, vec_id_j) < (cent_cos_q_i, vec_id_i), so exactly the
+    * neighborhood minimum survives each semantic neighborhood, and
+    * `dup_of` reports the smallest such preferred neighbor. Pairwise
+    * greedy, not transitive-closure: a chain a~b~c with a≁c keeps a,
+    * removes b and c (c attributed to b) — the standard approximation.
+    *
+    * Cross-engine exactness: cluster assignment and centroid preference
+    * compare QUANTIZED integer cosines; the pair test compares the
+    * deterministic cosineQ double — both bit-identical in DuckDB.
+    *
+    * 100 TB shape: quantizer bounded and broadcast; assignment map-only;
+    * one shuffle of (embedding, 16-byte key) rows on list_id; the
+    * intra-cluster self-join is the paper's O(Σ c²) cost — cluster size is
+    * the knob (medoid density scales with n via [[medoidModulus]]), AQE
+    * splits skewed clusters, and at extreme cluster sizes the pair
+    * generation composes with [[qDedupEmbCosine]]'s sign-LSH banding
+    * inside each cluster. */
+  def qSemDedup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame =
+    semDedup(emb(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+
+  def semDedup(e: DataFrame, threshold: Double): DataFrame = {
+    // checkpoint: the assignment UDF pass runs once, not once per join side
+    val assigned = eagerCheckpoint(assignToMedoids(e))
+    val right = assigned.select(col("list_id").as("j_list"), col("vec_id").as("j_id"),
+      col("cent_cos_q").as("j_cent"), col("embedding").as("j_emb"))
+    val preferred = assigned.join(right,
+        col("list_id") === col("j_list") && col("vec_id") =!= col("j_id") &&
+          (col("j_cent") < col("cent_cos_q") ||
+            (col("j_cent") === col("cent_cos_q") && col("j_id") < col("vec_id"))))
+      .where(cosineQUdf(col("embedding"), col("j_emb")) >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("j_cent").as("jc"), col("j_id").as("jid"))).as("m"))
+    assigned.select(col("vec_id"), col("list_id"), col("cent_cos_q"))
+      .join(preferred, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"), col("cent_cos_q"),
+        col("m").isNotNull.as("is_dup"),
+        coalesce(col("m.jid"), lit(-1L)).as("dup_of"))
+      .orderBy(col("vec_id"))
   }
 
   /** Deterministic random-hyperplane sign sketch, DuckDB-reproducible:
@@ -1213,6 +1270,38 @@ object TrainingDataQueries {
          |       sum(CAST(floor(c * 10000 + 0.5) AS BIGINT))::BIGINT AS sum_cos_q
          |FROM asg WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SemDeDup reproduced in SQL: same medoid selection/assignment CTEs as
+    // q_topic_clusters, then the intra-cluster preferred-neighbor self-join;
+    // argmin (jc, jid) via row_number mirrors Spark's min(struct(jc, jid)).
+    "q_semdedup" ->
+      s"""WITH $QvCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, q AS cq, n2 AS cn2 FROM qn
+         |  WHERE md5_number_lower(vec_id::VARCHAR)
+         |        % (SELECT greatest(31, count(*) // 4096)::UBIGINT FROM embeddings) = 0
+         |), asg AS (
+         |  SELECT vec_id, c_id, CAST(floor(c * 10000 + 0.5) AS BIGINT) AS cent_q
+         |  FROM (SELECT e.vec_id, ct.c_id,
+         |               ${cosQSql("e.q", "e.n2", "ct.cq", "ct.cn2")} AS c,
+         |               row_number() OVER (PARTITION BY e.vec_id ORDER BY c DESC, ct.c_id) AS rn
+         |        FROM qn e CROSS JOIN cents ct)
+         |  WHERE rn = 1
+         |), m AS (
+         |  SELECT a.vec_id, a.c_id, a.cent_q, e.q, e.n2 FROM asg a JOIN qn e USING (vec_id)
+         |), pr AS (
+         |  SELECT i.vec_id, j.cent_q AS jc, j.vec_id AS jid
+         |  FROM m i JOIN m j ON i.c_id = j.c_id AND i.vec_id <> j.vec_id
+         |  WHERE (${cosQSql("i.q", "i.n2", "j.q", "j.n2")}) >= 0.35
+         |    AND (j.cent_q < i.cent_q OR (j.cent_q = i.cent_q AND j.vec_id < i.vec_id))
+         |), k AS (
+         |  SELECT vec_id, jid FROM (
+         |    SELECT vec_id, jid, row_number() OVER (PARTITION BY vec_id ORDER BY jc, jid) AS rn
+         |    FROM pr) WHERE rn = 1
+         |)
+         |SELECT m.vec_id, m.c_id AS list_id, m.cent_q AS cent_cos_q,
+         |       k.jid IS NOT NULL AS is_dup, coalesce(k.jid, -1)::BIGINT AS dup_of
+         |FROM m LEFT JOIN k USING (vec_id) ORDER BY m.vec_id""".stripMargin,
+
     // Winnowing reproduced in SQL: md5-derived 32-bit gram hashes, per-
     // window minima (k=8, w=4), order-independent aggregates over the
     // distinct selected values.
@@ -1320,6 +1409,7 @@ object TrainingDataQueries {
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
     "q_topic_clusters" -> (qTopicClusters _),
+    "q_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
     "q_quality_score" -> (qQualityScore _),
     "q_token_count" -> (qTokenCount _),
     "q_lang_id" -> (qLangId _),

@@ -242,6 +242,43 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("bpe encode: hand-computed encoding under the learned merges") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // merges learned on this corpus: (a,a) then (a,b) — see the train test
+    val df = Seq((0L, "aa ab"), (1L, "aa")).toDF("doc_id", "text")
+    val got = CurationQueries.bpeEncode(df, merges = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc0: "(a)(a) (a)(b)" -> "(aa) (a)(b)" -> "(aa) (ab)"  (2 tokens)
+    // doc1: "(a)(a)" -> "(aa)"                               (1 token)
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, md5hex("(aa) (ab)")),
+      (1L, 1L, 1L, md5hex("(aa)"))))
+  }
+
+  test("bpe encode: left-to-right non-overlapping application on runs") {
+    import spark.implicits._
+    // "aaaa" + merge (a,a) encodes as [aa][aa] (2 tokens), never 3
+    val df = Seq((0L, "aaaa"), (1L, "aaaa")).toDF("doc_id", "text")
+    val got = CurationQueries.bpeEncode(df, merges = 1).collect()
+    assert(got.forall(_.getLong(2) == 2L))
+  }
+
+  test("bpe encode: corpus run is total and merges only shrink token counts") {
+    val base = CurationQueries.qBpeEncode(spark, sf, merges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val enc = CurationQueries.qBpeEncode(spark, sf).collect()
+    assert(enc.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    enc.foreach { r =>
+      val (id, nWords, nTok) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(nTok <= base(id), s"doc $id grew under merges")
+      assert((nTok == 0) == (nWords == 0), s"doc $id token/word zero mismatch")
+    }
+    assert(enc.map(_.getLong(2)).sum < base.values.sum, "merges must fire somewhere")
+  }
+
   test("lm score: corpus run is total, non-negative, and repetitive docs score low") {
     val rows = CurationQueries.qLmScore(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
