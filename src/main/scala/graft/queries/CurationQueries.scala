@@ -426,6 +426,82 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------- classifier-based quality routing
+
+  /** Classifier-based document routing — the fastText/logistic-regression
+    * quality-classifier step of GPT-3/LLaMA-style pipelines (Brown et al.
+    * 2020 appendix A "documents were scored by a classifier"; Joulin et al.
+    * 2016 fastText) made cross-engine exact: a multinomial Naive Bayes
+    * model over a BOUNDED feature vocabulary, trained on the corpus's own
+    * `source` labels and applied back to every document, all in integer
+    * log2 units (ilog2(x) = length(bin(x)) − 1, the [[qLmScore]] recipe):
+    *
+    *   vocab    = top-`vocabSize` words by (count desc, word) — the
+    *              deterministic feature-selection step
+    *   weight   = ilog2((c(label,word)+1) · 2^30 // (total_label + V))
+    *              (Laplace-smoothed multinomial likelihood)
+    *   prior    = ilog2(n_docs_label · 2^30 // N)
+    *   score    = prior + Σ_words tf · weight;  argmax ties → label asc
+    *
+    * Docs containing no vocab word fall back to the max-prior label.
+    * Output is the (source, predicted) confusion matrix. The 2^30 scale
+    * needs (c+1)·2^30 < 2^63 ⇒ per-label word counts < 2^33; at corpora
+    * beyond that, drop the scale to 2^20 (the weights only shift).
+    *
+    * 100 TB shape: feature selection is a distributed top-k over the
+    * vocabulary table; the MODEL is vocabSize×L rows — broadcast — so
+    * scoring is a map-side join + per-doc partial agg; the only
+    * corpus-sized shuffle is the per-doc tf aggregation. The argmax is
+    * min(struct(−score, label)), never a global window. The max-prior
+    * fallback is a bounded ≤L-row driver collect (the IVF-medoid
+    * discipline). */
+  def qNbClassify(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame =
+    nbClassify(docs(spark, dir), vocabSize)
+
+  /** Train+apply core over any `(doc_id, text, source)` frame —
+    * unit-testable on crafted separable corpora (CurationSpec). */
+  def nbClassify(d: DataFrame, vocabSize: Int): DataFrame = {
+    val n = d.count()
+    val toks = d.select(col("doc_id"), col("source"),
+      explode(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$"))).as("word"))
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize).select(col("word"))
+    val labels = d.groupBy(col("source").as("label")).agg(count(lit(1)).as("n_docs_l"))
+    val vtoks = toks.join(broadcast(vocab), "word")
+    val counts = vtoks.groupBy(col("source").as("label"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    // dense labels×vocab model: unseen (label, word) pairs get the smoothed
+    // floor weight, so every label scores every matched word
+    val model0 = labels.select(col("label")).crossJoin(broadcast(vocab))
+      .join(counts, Seq("label", "word"), "left")
+      .na.fill(0L, Seq("c"))
+    val totals = model0.groupBy(col("label")).agg(sum(col("c")).as("total_l"))
+    val model = model0.join(totals, Seq("label"))
+      .withColumn("weight",
+        expr(s"length(bin(((c + 1) * 1073741824) div (total_l + $vocabSize))) - 1"))
+      .select(col("label"), col("word"), col("weight"))
+    val prior = labels
+      .withColumn("prior", expr(s"length(bin((n_docs_l * 1073741824) div $n)) - 1"))
+      .select(col("label"), col("prior"))
+    val tf = vtoks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val scores = tf.join(broadcast(model), "word")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("tf") * col("weight")).as("s"))
+      .join(broadcast(prior), "label")
+      .select(col("doc_id"), col("label"), (col("s") + col("prior")).as("score"))
+    val predicted = scores.groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("label").as("lbl"))).as("m"))
+      .select(col("doc_id"), col("m.lbl").as("predicted"))
+    val fallback = prior.orderBy(col("prior").desc, col("label")).limit(1)
+      .collect()(0).getString(0)
+    d.select(col("doc_id"), col("source"))
+      .join(predicted, Seq("doc_id"), "left")
+      .withColumn("predicted", coalesce(col("predicted"), lit(fallback)))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("predicted"))
+  }
+
   // --------------------------------------------------- BPE vocab induction
 
   /** Distributed BPE vocabulary induction (Sennrich et al. 2016, "Neural
@@ -615,6 +691,55 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracle(10),
     "q_bpe_encode" -> bpeEncodeOracle(10),
+
+    // Naive Bayes reproduced in SQL: same top-256 vocab (count desc, word
+    // tiebreak), Laplace-smoothed integer-log2 weights, per-doc argmax via
+    // row_number (score desc, label) = Spark's min(struct(-score, label)).
+    "q_nb_classify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            w -> regexp_matches(w, '^[a-z0-9]+$'))) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT word FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY 1
+        |                    ORDER BY cnt DESC, word LIMIT 256)
+        |), labels AS (
+        |  SELECT source AS label, count(*) AS n_docs_l FROM documents GROUP BY 1
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |cnt AS (
+        |  SELECT source AS label, word, count(*) AS c
+        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
+        |), model0 AS (
+        |  SELECT l.label, v.word, coalesce(c.c, 0) AS c
+        |  FROM labels l CROSS JOIN vocab v
+        |  LEFT JOIN cnt c ON c.label = l.label AND c.word = v.word
+        |), totals AS (SELECT label, sum(c) AS total_l FROM model0 GROUP BY 1),
+        |model AS (
+        |  SELECT m.label, m.word,
+        |         length(bin(((m.c + 1) * 1073741824) // (t.total_l + 256))) - 1 AS weight
+        |  FROM model0 m JOIN totals t USING (label)
+        |), prior AS (
+        |  SELECT label,
+        |         length(bin((n_docs_l * 1073741824) // (SELECT n FROM nn))) - 1 AS prior
+        |  FROM labels
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT tf.doc_id, m.label, p.prior + sum(tf.tf * m.weight) AS score
+        |  FROM tf JOIN model m USING (word) JOIN prior p ON p.label = m.label
+        |  GROUP BY 1, 2, p.prior
+        |), pred AS (
+        |  SELECT doc_id, label AS predicted FROM (
+        |    SELECT doc_id, label,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |    FROM sc) WHERE rn = 1
+        |), fb AS (SELECT label FROM prior ORDER BY prior DESC, label LIMIT 1)
+        |SELECT d.source, coalesce(p.predicted, (SELECT label FROM fb)) AS predicted,
+        |       count(*)::BIGINT AS n_docs
+        |FROM documents d LEFT JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_lm_score" ->
       """WITH w AS (
@@ -814,5 +939,6 @@ object CurationQueries {
     "q_lm_score" -> (qLmScore _),
     "q_bpe_merges" -> ((s: SparkSession, d: String) => qBpeMerges(s, d)),
     "q_bpe_encode" -> ((s: SparkSession, d: String) => qBpeEncode(s, d)),
+    "q_nb_classify" -> ((s: SparkSession, d: String) => qNbClassify(s, d)),
   )
 }

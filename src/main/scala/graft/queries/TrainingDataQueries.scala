@@ -957,8 +957,15 @@ object TrainingDataQueries {
     * table is |query|-sized and broadcast; nothing corpus-sized shuffles. */
   def qKeywordSearch(spark: SparkSession, dir: String,
                      query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
-                     k: Int = 20): DataFrame = {
-    val d = docs(spark, dir)
+                     k: Int = 20): DataFrame =
+    keywordScores(docs(spark, dir), query)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** The tf×idf scorer shared by [[qKeywordSearch]] (ranked top-k) and
+    * [[qHybridSearch]] (the sparse fusion leg): (doc_id, score,
+    * n_terms_hit) for every document hitting ≥ 1 query term. */
+  private def keywordScores(d: DataFrame, query: Seq[String]): DataFrame = {
     val n = d.count()
     val tf = d
       .select(col("doc_id"),
@@ -970,8 +977,54 @@ object TrainingDataQueries {
     tf.join(broadcast(idf), "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf")).as("score"), count(lit(1)).as("n_terms_hit"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of the
+    * SPARSE keyword ranking and the DENSE embedding ranking, the standard
+    * two-tower serving shape of an LLM data/retrieval stack. Each leg
+    * produces its own top-`legK` ranking (sparse: tf×idf vs the query
+    * terms; dense: quantized cosine vs the probe vector, the corpus doc
+    * whose id = `probeId`), and fused_score(d) = Σ_legs 10^9 // (60 + rank)
+    * — INTEGER truncating division in both engines, so the oracle is
+    * hash-exact; a missing leg contributes 0. Ties break by doc_id.
+    *
+    * 100 TB shape: each leg is already scale-safe (keyword: only query-term
+    * postings leave the scan; dense: broadcast probe + distributed top-k
+    * TakeOrderedAndProject) and fusion itself touches exactly 2·legK rows —
+    * the rank windows run on ≤ legK-row inputs, never on the corpus. */
+  def qHybridSearch(spark: SparkSession, dir: String,
+                    query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
+                    probeId: Long = 0L, legK: Int = 50, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparseTop = keywordScores(docs(spark, dir), query)
+      .orderBy(col("score").desc, col("doc_id")).limit(legK)
+      .withColumn("rank_sparse",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_sparse"))
+    val e = emb(spark, dir)
+    val probe = e.where(col("vec_id") === probeId).select(col("embedding").as("probe"))
+    val denseTop = e.where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        (floor(cosineQUdf(col("embedding"), col("probe")) * 10000d + 0.5d))
+          .cast("long").as("cos_q"))
+      .orderBy(col("cos_q").desc, col("doc_id")).limit(legK)
+      .withColumn("rank_dense",
+        row_number().over(Window.orderBy(col("cos_q").desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank_dense"))
+    sparseTop.join(denseTop, Seq("doc_id"), "full_outer")
+      // rank 0 = "not in this leg's top-legK" (row_number ranks start at 1)
+      .select(col("doc_id"),
+        coalesce(col("rank_sparse"), lit(0)).cast("long").as("rank_sparse"),
+        coalesce(col("rank_dense"), lit(0)).cast("long").as("rank_dense"))
+      .selectExpr("doc_id", "rank_sparse", "rank_dense",
+        // INTEGER `div` both engines — no float rounding in the fusion
+        """CASE WHEN rank_sparse = 0 THEN 0L ELSE 1000000000L div (60 + rank_sparse) END +
+           CASE WHEN rank_dense = 0 THEN 0L ELSE 1000000000L div (60 + rank_dense) END
+           AS fused_score""")
+      .orderBy(col("fused_score").desc, col("doc_id"))
       .limit(k)
+      .orderBy(col("doc_id"))
   }
 
   // ----------------------------------------------------------- oracle SQL
@@ -1025,6 +1078,47 @@ object TrainingDataQueries {
         |SELECT doc_id, sum(tf * idf)::BIGINT AS score, count(*)::BIGINT AS n_terms_hit
         |FROM tf JOIN idf USING (word)
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF fusion reproduced in SQL: the keyword-score CTEs and the
+    // quantized-cosine dense leg, each ranked top-50 with the same
+    // (score desc, id) tie-break, fused with integer `//` division.
+    "q_hybrid_search" ->
+      s"""WITH $QvCte,
+         |q AS (SELECT unnest(['hash','join','stream','window','vector']) AS word),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM w JOIN q USING (word) GROUP BY 1, 2
+         |), idf AS (
+         |  SELECT word, length(bin(((SELECT n FROM nn) * 1024) // df)) - 1 AS idf
+         |  FROM (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+         |), ks AS (
+         |  SELECT doc_id, sum(tf * idf)::BIGINT AS score
+         |  FROM tf JOIN idf USING (word) GROUP BY 1
+         |), st AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_sparse
+         |  FROM ks ORDER BY score DESC, doc_id LIMIT 50
+         |), pr AS (SELECT q, n2 FROM qn WHERE vec_id = 0),
+         |dc AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         CAST(floor((${cosQSql("e.q", "e.n2", "pr.q", "pr.n2")}) * 10000 + 0.5) AS BIGINT) AS cos_q
+         |  FROM qn e CROSS JOIN pr WHERE e.vec_id <> 0
+         |), dt AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY cos_q DESC, doc_id) AS rank_dense
+         |  FROM dc ORDER BY cos_q DESC, doc_id LIMIT 50
+         |), f AS (
+         |  SELECT doc_id, coalesce(rank_sparse, 0)::BIGINT AS rank_sparse,
+         |         coalesce(rank_dense, 0)::BIGINT AS rank_dense
+         |  FROM st FULL JOIN dt USING (doc_id)
+         |)
+         |SELECT * FROM (
+         |  SELECT doc_id, rank_sparse, rank_dense,
+         |         (CASE WHEN rank_sparse = 0 THEN 0 ELSE 1000000000 // (60 + rank_sparse) END +
+         |          CASE WHEN rank_dense = 0 THEN 0 ELSE 1000000000 // (60 + rank_dense) END)::BIGINT AS fused_score
+         |  FROM f ORDER BY fused_score DESC, doc_id LIMIT 20
+         |) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
@@ -1416,6 +1510,7 @@ object TrainingDataQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_keyword_search" -> ((s: SparkSession, d: String) => qKeywordSearch(s, d)),
+    "q_hybrid_search" -> ((s: SparkSession, d: String) => qHybridSearch(s, d)),
   )
 }
 

@@ -279,6 +279,38 @@ class CurationSpec extends AnyFunSuite {
     assert(enc.map(_.getLong(2)).sum < base.values.sum, "merges must fire somewhere")
   }
 
+  test("nb classify: separable crafted corpus classifies on the diagonal") {
+    import spark.implicits._
+    // label-disjoint vocab -> NB must recover the labels exactly; the
+    // token-free doc falls back to the max-prior label (ties -> label asc)
+    val df = Seq(
+      (0L, "apple banana apple banana", "srcA"),
+      (1L, "banana apple banana apple", "srcA"),
+      (2L, "apple apple banana banana", "srcA"),
+      (3L, "carrot date carrot date", "srcB"),
+      (4L, "date carrot date carrot", "srcB"),
+      (5L, "carrot carrot date date", "srcB"),
+      (6L, "!!! ???", "srcB"), // no [a-z0-9]+ tokens -> prior fallback
+    ).toDF("doc_id", "text", "source")
+    val got = CurationQueries.nbClassify(df, vocabSize = 256).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // priors: srcA 3/7, srcB 4/7 -> ilog2(3*2^30/7)=28 < ilog2(4*2^30/7)=29,
+    // so the fallback label is srcB and doc 6 lands on the diagonal
+    assert(got == Seq(("srcA", "srcA", 3L), ("srcB", "srcB", 4L)))
+  }
+
+  test("nb classify: corpus run is a total confusion matrix over known labels") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sources = docs.select("source").distinct().collect().map(_.getString(0)).toSet
+    val rows = CurationQueries.qNbClassify(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == docs.count(), "every doc classified exactly once")
+    assert(rows.forall { case (s, p, n) => sources(s) && sources(p) && n > 0 })
+    val key = rows.map { case (s, p, _) => (s, p) }
+    assert(key.sameElements(key.sorted), "ordered by (source, predicted)")
+    assert(key.distinct.length == key.length)
+  }
+
   test("lm score: corpus run is total, non-negative, and repetitive docs score low") {
     val rows = CurationQueries.qLmScore(spark, sf).collect()
     assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
