@@ -558,9 +558,17 @@ object TrainingDataQueries {
     * mark); more flips or more bits extend the same shape. Exact quantized
     * cosine within the probed buckets; DuckDB-oracled (the oracle filters
     * on reproduced-sketch hamming ≤ 1). */
-  def qAnnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def qAnnLsh(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    annLsh(emb(spark, dir), k)
+
+  /** The multi-probe core over any `(vec_id, embedding)` frame — at gate
+    * corpus sizes the 2^16-bucket space is so sparse the probed ball is
+    * usually empty (0 rows is the CORRECT answer there, and the oracle
+    * reproduces it); AnnLshSpec proves the non-vacuous behavior on a
+    * corpus seeded with in-bucket neighbors. */
+  def annLsh(base: DataFrame, k: Int = 10): DataFrame = {
     val bits = 16
-    val e = emb(spark, dir).withColumn("sketch", signSketchCol(col("embedding"), bits, 0))
+    val e = base.withColumn("sketch", signSketchCol(col("embedding"), bits, 0))
     val probe = e.where(col("vec_id") === 0)
       .select(col("sketch").as("probe_sketch"), col("embedding").as("probe"))
     // probe row exploded to its 17 bucket keys, broadcast against the corpus
