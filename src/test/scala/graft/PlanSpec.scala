@@ -116,6 +116,37 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(source"), s"window not partitioned by source:\n$plan")
   }
 
+  test("semdedup: checkpointed assignment feeds equi-joins, corpus never rescanned") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qSemDedup(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in semdedup:\n$plan")
+    // the medoid-assignment UDF pass is checkpointed once; every join in
+    // the final plan reads the checkpointed RDD, never the embeddings file
+    assert(plan.contains("Scan ExistingRDD"), s"assignment not checkpointed:\n$plan")
+    assert(!plan.contains("FileScan"), s"corpus scan leaked past the checkpoint:\n$plan")
+  }
+
+  test("hybrid search: legs are distributed top-k; rank windows run post-limit") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qHybridSearch(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"), s"legs not distributed top-k:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // physical tree prints parents first: every Window must sit ABOVE a
+    // TakeOrderedAndProject child — the corpus is never globally sorted
+    val fromFirstWindow = plan.substring(plan.indexOf("Window"))
+    assert(plan.contains("Window") && fromFirstWindow.contains("TakeOrderedAndProject"),
+      s"rank window not fed by a top-k leg:\n$plan")
+  }
+
+  test("nb classify: model joins broadcast; corpus text never shuffles") {
+    val plan = planOf(graft.queries.CurationQueries.qNbClassify(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), s"model/vocab not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // the only BNLJ allowed is the bounded labels x vocab dense-model build
+    // (20 x 256 rows); the corpus-sized frames join hash-equi on word/label
+    val postScan = plan.linesIterator.filterNot(_.contains("Scan parquet")).mkString("\n")
+    assert(!postScan.contains("Exchange hashpartitioning(text"), "text must not shuffle")
+  }
+
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
     df.collect() // finalize THIS df's AQE plan (count() would re-plan)
