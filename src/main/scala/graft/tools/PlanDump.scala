@@ -19,6 +19,7 @@ object PlanDump {
       "q_decontaminate", "q_dedup_substring", "q_dedup_segments",
       "q_dedup_incr_bloom", "q_pack_sequences",
       "q_pagerank", "q_lm_score", "q_keyword_search",
+      "q_semdedup", "q_hybrid_search", "q_nb_classify", "q_bpe_encode",
       "x_extract_summary")
     val sb = new StringBuilder
     sb.append("# PLANS — explain(formatted) of headline queries (")
