@@ -460,10 +460,19 @@ object CurationQueries {
 
   /** Train+apply core over any `(doc_id, text, source)` frame —
     * unit-testable on crafted separable corpora (CurationSpec). */
-  def nbClassify(d: DataFrame, vocabSize: Int): DataFrame = {
+  def nbClassify(d: DataFrame, vocabSize: Int): DataFrame =
+    nbPredictions(d, vocabSize)
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("predicted"))
+
+  /** Per-document predictions `(doc_id, source, predicted)` — the
+    * distributed-join apply pipeline (vs the collected-model serve path
+    * [[nbModelCollect]] used by the streaming scorer; StreamingSpec pins
+    * the two paths result-identical). */
+  def nbPredictions(d: DataFrame, vocabSize: Int): DataFrame = {
     val n = d.count()
-    val toks = d.select(col("doc_id"), col("source"),
-      explode(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$"))).as("word"))
+    val toks = nbTokens(d)
     val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(vocabSize).select(col("word"))
     val labels = d.groupBy(col("source").as("label")).agg(count(lit(1)).as("n_docs_l"))
@@ -497,9 +506,68 @@ object CurationQueries {
     d.select(col("doc_id"), col("source"))
       .join(predicted, Seq("doc_id"), "left")
       .withColumn("predicted", coalesce(col("predicted"), lit(fallback)))
-      .groupBy(col("source"), col("predicted"))
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy(col("source"), col("predicted"))
+  }
+
+  private def nbTokens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"),
+      explode(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$"))).as("word"))
+
+  /** The trained model COLLECTED for serving: (sorted labels, per-label
+    * integer priors, vocab word → per-label weights, fallback label).
+    * Bounded by construction — vocabSize×L weight cells + L priors —
+    * which is exactly why it can broadcast into a stream. */
+  def nbModelCollect(d: DataFrame, vocabSize: Int): NbModel = {
+    val n = d.count()
+    val toks = nbTokens(d)
+    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val labelCounts = d.groupBy(col("source")).agg(count(lit(1)).as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val labels = labelCounts.map(_._1)
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val priors = labelCounts.map { case (_, nl) => ilog2(nl * 1073741824L / n) }
+    // (label, word) counts over vocab words — vocabSize×L cells max
+    val counts = toks.where(col("word").isin(vocab.toSeq: _*))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val totals = labels.map(l => vocab.map(w => counts.getOrElse((l, w), 0L)).sum)
+    val weights = vocab.map { w =>
+      w -> labels.indices.map { i =>
+        ilog2((counts.getOrElse((labels(i), w), 0L) + 1L) * 1073741824L /
+          (totals(i) + vocabSize))
+      }.toArray
+    }.toMap
+    val fallback = labels.indices.minBy(i => (-priors(i), labels(i)))
+    NbModel(labels, priors, weights, labels(fallback))
+  }
+
+  /** Collected NB model — everything the serve path needs, all bounded. */
+  case class NbModel(labels: Array[String], priors: Array[Long],
+                     weights: Map[String, Array[Long]], fallback: String)
+      extends Serializable {
+    /** argmax_l prior_l + Σ tf·weight — identical semantics to the
+      * distributed-join pipeline (ties → label asc via index order). */
+    def predict(text: String): String = {
+      val scores = priors.clone()
+      var any = false
+      // vocab words are [a-z0-9]+ by construction, so a raw-token lookup
+      // drops non-eligible tokens exactly like the batch tokenizer filter
+      text.toLowerCase.split("\\s+").foreach { w =>
+        weights.get(w) match {
+          case Some(ws) =>
+            any = true
+            var i = 0; while (i < scores.length) { scores(i) += ws(i); i += 1 }
+          case None =>
+        }
+      }
+      if (!any) fallback
+      else {
+        var best = 0; var i = 1
+        while (i < scores.length) { if (scores(i) > scores(best)) best = i; i += 1 }
+        labels(best)
+      }
+    }
   }
 
   // --------------------------------------------------- BPE vocab induction

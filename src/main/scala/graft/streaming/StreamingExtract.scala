@@ -366,6 +366,27 @@ object StreamingExtract extends Serializable {
     dedupByDigest(scored, "content_md5", md5(col("content")), watermark)
   }
 
+  /** Streaming classifier scoring — the TRAIN-BATCH / SERVE-STREAM shape
+    * of the quality/domain classifier (the continuous analog of batch
+    * [[graft.queries.CurationQueries.nbClassify]]): a bounded NbModel
+    * (vocabSize×L integer weights, collected once from a batch corpus via
+    * `nbModelCollect`) rides the UDF closure into every micro-batch and
+    * scores each extracted document map-only — stateless, no watermark,
+    * no shuffle; exactly how production fastText-style filters serve at
+    * crawl time. StreamingSpec pins the serve path result-identical to
+    * the batch join-pipeline (`nbPredictions`) on the same corpus. */
+  def classifierStream(
+      pages: Dataset[Page],
+      model: graft.queries.CurationQueries.NbModel,
+      options: ConversionOptions = ConversionOptions(),
+  )(implicit spark: SparkSession): DataFrame = {
+    val predictUdf = udf((content: String) => model.predict(content))
+    ExtractKernel.extract(pages, options)(spark)
+      .where(col("status") === "completed" && length(col("content")) > 0)
+      .select(col("url"), col("warc_ts"), col("document_type"),
+        predictUdf(col("content")).as("predicted"))
+  }
+
   /** Streaming link harvest: pages → anchor extraction → resolved target
     * hosts → watermarked tumbling-window in-degree per host — the
     * continuous analog of the batch link family (x_links64 /

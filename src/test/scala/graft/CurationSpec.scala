@@ -299,6 +299,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Seq(("srcA", "srcA", 3L), ("srcB", "srcB", 4L)))
   }
 
+  test("nb serve path: collected model reproduces the join pipeline per doc") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val model = CurationQueries.nbModelCollect(d, vocabSize = 256)
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val preds = CurationQueries.nbPredictions(d, vocabSize = 256).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(preds.length == texts.size)
+    preds.foreach { case (id, predicted) =>
+      assert(model.predict(texts(id)) == predicted, s"doc $id serve/batch drift")
+    }
+  }
+
   test("nb classify: corpus run is a total confusion matrix over known labels") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sources = docs.select("source").distinct().collect().map(_.getString(0)).toSet

@@ -337,4 +337,40 @@ class StreamingSpec extends AnyFunSuite {
     // hub.example gets 2 inbound; the relative link resolves to the page's own host
     assert(rows == Seq(("hub.example", 2L), ("src1.example", 1L)))
   }
+
+  test("streaming classifier: batch-trained model scores extracted docs in-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // train batch on a label-separable corpus (the CurationSpec fixture)
+    val train = Seq(
+      (0L, "apple banana apple banana", "srcA"),
+      (1L, "banana apple banana apple", "srcA"),
+      (2L, "carrot date carrot date", "srcB"),
+      (3L, "date carrot date carrot", "srcB"),
+    ).toDF("doc_id", "text", "source")
+    val model = graft.queries.CurationQueries.nbModelCollect(train, vocabSize = 256)
+    // serve stream: html pages whose EXTRACTED content carries the vocab
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.classifierStream(mem.toDS(), model)(spark)
+      .select("url", "predicted")
+      .writeStream.format("memory").queryName("classified").outputMode("append").start()
+    val base = 1735689600000L
+    def page(url: String, body: String, ms: Long) = graft.model.Page(
+      url, new java.sql.Timestamp(base + ms),
+      s"<html><body><p>$body</p></body></html>".getBytes("UTF-8"), "", "en")
+    mem.addData(
+      page("u://fruit", "apple banana apple", 0),
+      page("u://veg", "carrot date carrot", 1000),
+    )
+    q.processAllAvailable()
+    mem.addData(page("u://none", "zebra yak xylophone", 2000)) // no vocab hit -> prior fallback
+    q.processAllAvailable()
+    val rows = spark.sql("select url, predicted from classified order by url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    q.stop()
+    // priors tie at 2/4 each -> fallback is the lexicographically-first label
+    assert(rows == Seq(("u://fruit", "srcA"), ("u://none", "srcA"), ("u://veg", "srcB")))
+  }
 }
