@@ -473,12 +473,16 @@ object CurationQueries {
   def nbPredictions(d: DataFrame, vocabSize: Int): DataFrame = {
     val n = d.count()
     val toks = nbTokens(d)
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // ONE corpus-token aggregation feeds both vocab selection (marginal
+    // over labels) and the model counts — its output is vocabulary×L
+    // sized, so everything downstream of it is model-sized, not
+    // corpus-sized; the only other corpus-token pass is the per-doc tf
+    val lw = toks.groupBy(col("source").as("label"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = lw.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(vocabSize).select(col("word"))
     val labels = d.groupBy(col("source").as("label")).agg(count(lit(1)).as("n_docs_l"))
-    val vtoks = toks.join(broadcast(vocab), "word")
-    val counts = vtoks.groupBy(col("source").as("label"), col("word"))
-      .agg(count(lit(1)).as("c"))
+    val counts = lw.join(broadcast(vocab), "word")
     // dense labels×vocab model: unseen (label, word) pairs get the smoothed
     // floor weight, so every label scores every matched word
     val model0 = labels.select(col("label")).crossJoin(broadcast(vocab))
@@ -492,7 +496,8 @@ object CurationQueries {
     val prior = labels
       .withColumn("prior", expr(s"length(bin((n_docs_l * 1073741824) div $n)) - 1"))
       .select(col("label"), col("prior"))
-    val tf = vtoks.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val tf = toks.join(broadcast(vocab), "word")
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val scores = tf.join(broadcast(model), "word")
       .groupBy(col("doc_id"), col("label"))
       .agg(sum(col("tf") * col("weight")).as("s"))
@@ -519,7 +524,10 @@ object CurationQueries {
   def nbModelCollect(d: DataFrame, vocabSize: Int): NbModel = {
     val n = d.count()
     val toks = nbTokens(d)
-    val vocab = toks.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    // one corpus-token aggregation; everything after is vocabulary-sized
+    val lw = toks.groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    lw.persist()
+    val vocab = lw.groupBy(col("word")).agg(sum(col("c")).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
       .collect().map(_.getString(0))
     val labelCounts = d.groupBy(col("source")).agg(count(lit(1)).as("nl"))
@@ -528,9 +536,9 @@ object CurationQueries {
     def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val priors = labelCounts.map { case (_, nl) => ilog2(nl * 1073741824L / n) }
     // (label, word) counts over vocab words — vocabSize×L cells max
-    val counts = toks.where(col("word").isin(vocab.toSeq: _*))
-      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val counts = lw.where(col("word").isin(vocab.toSeq: _*)) // bounded: vocab×L
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    lw.unpersist()
     val totals = labels.map(l => vocab.map(w => counts.getOrElse((l, w), 0L)).sum)
     val weights = vocab.map { w =>
       w -> labels.indices.map { i =>
