@@ -41,6 +41,10 @@ object CurationQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  // compiled once: NbModel.predict runs per document in the streaming hot
+  // path, and String.split("\\s+") would recompile the pattern per call
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
   // ------------------------------------------------------------ PII redact
 
   private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -533,7 +537,12 @@ object CurationQueries {
     val labelCounts = d.groupBy(col("source")).agg(count(lit(1)).as("nl"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     val labels = labelCounts.map(_._1)
-    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    // length(bin(x)) - 1 exactly: bin(0) = "0" so ilog2(0) must be 0, not
+    // -1 — the smoothed weight/prior arguments CAN reach 0 inside the
+    // documented < 2^33 envelope (total_l > 2^30), and the serve path must
+    // agree with the batch/oracle recipe there
+    def ilog2(x: Long): Long =
+      if (x <= 0L) 0L else 63L - java.lang.Long.numberOfLeadingZeros(x)
     val priors = labelCounts.map { case (_, nl) => ilog2(nl * 1073741824L / n) }
     // (label, word) counts over vocab words — vocabSize×L cells max
     val counts = lw.where(col("word").isin(vocab.toSeq: _*)) // bounded: vocab×L
@@ -560,8 +569,10 @@ object CurationQueries {
       val scores = priors.clone()
       var any = false
       // vocab words are [a-z0-9]+ by construction, so a raw-token lookup
-      // drops non-eligible tokens exactly like the batch tokenizer filter
-      text.toLowerCase.split("\\s+").foreach { w =>
+      // drops non-eligible tokens exactly like the batch tokenizer filter;
+      // Locale.ROOT mirrors Spark's locale-independent lower() (a tr/az
+      // default locale would dot-swap 'i' and miss vocab words)
+      WsPattern.split(text.toLowerCase(java.util.Locale.ROOT)).foreach { w =>
         weights.get(w) match {
           case Some(ws) =>
             any = true

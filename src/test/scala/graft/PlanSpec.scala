@@ -132,8 +132,9 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
     // physical tree prints parents first: every Window must sit ABOVE a
     // TakeOrderedAndProject child — the corpus is never globally sorted
-    val fromFirstWindow = plan.substring(plan.indexOf("Window"))
-    assert(plan.contains("Window") && fromFirstWindow.contains("TakeOrderedAndProject"),
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0, s"no Window in hybrid plan:\n$plan")
+    assert(plan.substring(windowIdx).contains("TakeOrderedAndProject"),
       s"rank window not fed by a top-k leg:\n$plan")
   }
 
