@@ -37,6 +37,16 @@ object TypeDetector {
   def detect(bytes: Array[Byte], url: String): String =
     sniff(bytes).orElse(fromExtension(url)).getOrElse(DocumentType.Pdf)
 
+  /** Detect→decode→parse gate shared by every HTML link/anchor consumer
+    * (batch link family + streaming harvest): Some(DOM root) iff the
+    * payload detects as HTML. One implementation so charset handling and
+    * detection can never drift between batch and streaming. */
+  def parseIfHtml(bytes: Array[Byte], url: String): Option[graft.html.Node] =
+    if (detect(bytes, url) == DocumentType.Html)
+      Some(graft.html.TreeBuilder.parse(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    else None
+
   /** Magic-byte sniff (libmagic analog). */
   def sniff(bytes: Array[Byte]): Option[String] = {
     if (bytes == null || bytes.length < 4) return None

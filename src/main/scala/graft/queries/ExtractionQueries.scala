@@ -216,23 +216,22 @@ object ExtractionQueries {
     * golden audit discipline. */
   /** (n_links, n_external, resolved target hosts) per page; non-HTML
     * documents carry no links. Shared by xLinks64 / xHostRank64. */
-  private val linkUdf = udf((url: String, html: Array[Byte]) => {
-    import graft.model.DocumentType
-    if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
-      val root = graft.html.TreeBuilder.parse(
-        new String(html, java.nio.charset.StandardCharsets.UTF_8))
-      val (n, ext, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
-      (n, ext, hosts)
-    } else (0, 0, Vector.empty[String])
-  })
+  private val linkUdf = udf((url: String, html: Array[Byte]) =>
+    graft.pipeline.TypeDetector.parseIfHtml(html, url)
+      .map(root => graft.html.LinkExtractor.linkSummary(root, url))
+      .getOrElse((0, 0, Vector.empty[String])))
 
-  private def pinnedLinks(spark: SparkSession, dir: String): DataFrame = {
+  /** The pinned-64-url pages slice shared by the link/anchor queries. */
+  private def pinnedPages(spark: SparkSession, dir: String): DataFrame = {
     val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
     pagesDs(spark, dir).toDF()
       .where(col("url").isin(pinned: _*))
       .dropDuplicates("url")
-      .select(col("url"), linkUdf(col("url"), col("html")).as("r"))
   }
+
+  private def pinnedLinks(spark: SparkSession, dir: String): DataFrame =
+    pinnedPages(spark, dir)
+      .select(col("url"), linkUdf(col("url"), col("html")).as("r"))
 
   def xLinks64(spark: SparkSession, dir: String): DataFrame =
     pinnedLinks(spark, dir)
@@ -285,18 +284,11 @@ object ExtractionQueries {
     * collection + host attribution in one value. Oracle values via
     * scripts/anchors_oracle_gen.py (golden discipline, sf-invariant). */
   def xAnchors64(spark: SparkSession, dir: String): DataFrame = {
-    val anchorUdf = udf((url: String, html: Array[Byte]) => {
-      import graft.model.DocumentType
-      if (graft.pipeline.TypeDetector.detect(html, url) == DocumentType.Html) {
-        val root = graft.html.TreeBuilder.parse(
-          new String(html, java.nio.charset.StandardCharsets.UTF_8))
-        graft.html.LinkExtractor.anchorsByHost(root, url)
-      } else Vector.empty[(String, String)]
-    })
-    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
-    pagesDs(spark, dir).toDF()
-      .where(col("url").isin(pinned: _*))
-      .dropDuplicates("url")
+    val anchorUdf = udf((url: String, html: Array[Byte]) =>
+      graft.pipeline.TypeDetector.parseIfHtml(html, url)
+        .map(root => graft.html.LinkExtractor.anchorsByHost(root, url))
+        .getOrElse(Vector.empty[(String, String)]))
+    pinnedPages(spark, dir)
       .select(explode(anchorUdf(col("url"), col("html"))).as("a"))
       .select(col("a._1").as("host"), explode(filter(split(lower(col("a._2")), "\\s+"), x => x =!= lit(""))).as("term"))
       .groupBy(col("host"), col("term")).agg(count(lit(1)).as("cnt"))

@@ -975,11 +975,14 @@ object TrainingDataQueries {
     * n_terms_hit) for every document hitting ≥ 1 query term. */
   private def keywordScores(d: DataFrame, query: Seq[String]): DataFrame = {
     val n = d.count()
-    val tf = d
+    // checkpointed: tf (≤ one row per (doc, query term)) feeds BOTH the idf
+    // aggregation and the scoring join — without the cut each reference
+    // re-scans and re-tokenizes the whole corpus (the xHostRank64 lesson)
+    val tf = eagerCheckpoint(d
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
       .where(col("word").isin(query: _*))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
     tf.join(broadcast(idf), "word")

@@ -396,14 +396,10 @@ object StreamingExtract extends Serializable {
     * seen in them) — never corpus-sized. */
   def outlinkStream(pages: Dataset[Page], watermark: String = "1 hour",
                     window_ : String = "10 minutes"): DataFrame = {
-    val edgeUdf = udf((url: String, html: Array[Byte]) => {
-      if (graft.pipeline.TypeDetector.detect(html, url) == graft.model.DocumentType.Html) {
-        val root = graft.html.TreeBuilder.parse(
-          new String(html, java.nio.charset.StandardCharsets.UTF_8))
-        val (_, _, hosts) = graft.html.LinkExtractor.linkSummary(root, url)
-        hosts
-      } else Vector.empty[String]
-    })
+    val edgeUdf = udf((url: String, html: Array[Byte]) =>
+      graft.pipeline.TypeDetector.parseIfHtml(html, url)
+        .map(root => graft.html.LinkExtractor.linkSummary(root, url)._3)
+        .getOrElse(Vector.empty[String]))
     pages.toDF()
       .withWatermark("warc_ts", watermark)
       .select(col("warc_ts"), explode(edgeUdf(col("url"), col("html"))).as("dst_host"))

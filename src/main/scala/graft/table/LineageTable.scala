@@ -86,6 +86,9 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       "schema_version" -> schemaVersion,
       "parent" -> currentSnapshotId.map(_.asInstanceOf[Any]).orNull,
     ) ++ extra
+    recordDirEpochs(dataDirs) // BEFORE the manifest: a dir must never be
+    // referenced by a retained snapshot without its first-commit epoch
+    // being durably recorded (see dirEpochs)
     atomicWrite(p("_manifests", s"snapshot-$id.json"), Json.write(manifest))
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
     id
@@ -105,9 +108,21 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * and incremental reads project correctly too. Scope: additive only —
     * rename/drop would ride the same versioned-spec mechanism. Returns the
     * new schema version. */
-  def addColumn(name: String, sqlType: String, defaultSql: String): Int = {
+  def addColumn(name: String, sqlType: String, defaultSql: String,
+                spark: Option[SparkSession] = None): Int = {
     val specs = addedColumns
     require(!specs.exists(_._1 == name), s"column '$name' already evolved on $root")
+    // with a session, also reject shadowing a PHYSICAL column of the
+    // current snapshot (the spec would be permanently inert and block the
+    // name); without one, the same conflict fails loud at read time in
+    // applyEvolution instead of silently no-opping
+    for (s <- spark; id <- currentSnapshotId) {
+      val dirs = snapshot(id)("data_dirs").asInstanceOf[List[Any]].map(String.valueOf)
+      dirs.find(d => spark.get.read.parquet(d).columns.contains(name)).foreach { d =>
+        throw new IllegalArgumentException(
+          s"column '$name' already exists physically in $d — cannot evolve over it")
+      }
+    }
     val next = specs :+ ((name, sqlType, defaultSql))
     Files.createDirectories(p("_manifests"))
     atomicWrite(p("_manifests", "SCHEMA"), Json.write(next.map { case (n, t, d) =>
@@ -130,22 +145,57 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
 
   def schemaVersion: Int = addedColumns.size
 
-  /** Schema version each data dir was committed under: the min over
-    * retained manifests referencing it (the dir's first commit). */
-  private def dirEpochs: Map[String, Int] =
-    snapshotIds.foldLeft(Map.empty[String, Int]) { (acc, id) =>
+  /** Schema version each data dir was first committed under. The durable
+    * source is _manifests/EPOCHS, written at commit time: inferring the
+    * epoch from min(schema_version) over RETAINED manifests (the original
+    * design) silently shifted a dir's epoch upward once expireSnapshots
+    * dropped its first-committing manifest while a later snapshot still
+    * referenced the dir — flipping its initial defaults to NULLs after a
+    * routine GC. The manifest-min fallback remains only for dirs committed
+    * before EPOCHS existed. Entries for GC'd dirs are pruned on expiry. */
+  private def dirEpochs: Map[String, Int] = {
+    val fromManifests = snapshotIds.foldLeft(Map.empty[String, Int]) { (acc, id) =>
       val s = snapshot(id)
       val v = s.get("schema_version").map(x => String.valueOf(x).toDouble.toInt).getOrElse(0)
       s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf).foldLeft(acc) { (a, d) =>
         a.updatedWith(d)(old => Some(math.min(old.getOrElse(Int.MaxValue), v)))
       }
     }
+    fromManifests ++ recordedEpochs // the recorded first-commit value wins
+  }
+
+  private def epochsPath: Path = p("_manifests", "EPOCHS")
+
+  private[table] def recordedEpochs: Map[String, Int] =
+    if (!Files.exists(epochsPath)) Map.empty
+    else Json.parse(new String(Files.readAllBytes(epochsPath), UTF_8))
+      .asInstanceOf[Map[String, Any]]
+      .map { case (d, v) => d -> String.valueOf(v).toDouble.toInt }
+
+  /** Record the current schema version as the epoch of any dir not seen
+    * before (first commit wins — re-commits of a dir under a later schema
+    * must not move it). Single-writer, atomic rename like the manifests. */
+  private def recordDirEpochs(dataDirs: Seq[String]): Unit = {
+    val cur = recordedEpochs
+    val missing = dataDirs.filterNot(cur.contains)
+    if (missing.nonEmpty) {
+      Files.createDirectories(p("_manifests"))
+      atomicWrite(epochsPath, Json.write(cur ++ missing.map(_ -> schemaVersion)))
+    }
+  }
 
   /** Project one dir's frame onto the evolved schema given its epoch. */
   private def applyEvolution(df: DataFrame, epoch: Int): DataFrame = {
     import org.apache.spark.sql.functions.{expr, lit}
     addedColumns.zipWithIndex.foldLeft(df) { case (d, ((n, t, default), idx)) =>
-      if (d.columns.contains(n)) d
+      if (d.columns.contains(n)) {
+        // a PRE-evolution dir already carrying the column means the spec
+        // shadows a base-schema column — fail loud, never silently no-op
+        require(epoch >= idx + 1,
+          s"evolved column '$n' (version ${idx + 1}) shadows a physical column " +
+            s"of a dir committed at schema version $epoch")
+        d
+      }
       else if (idx + 1 > epoch) d.withColumn(n, expr(default).cast(t))
       else d.withColumn(n, lit(null).cast(t))
     }
@@ -422,6 +472,12 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       }
       Files.deleteIfExists(mdir.resolve(s"snapshot-$id.json"))
     }
+    // prune epoch records for dirs no retained snapshot references (their
+    // data is gone); referenced dirs keep their durable first-commit epoch
+    // precisely BECAUSE their first-committing manifest may just have died
+    val rec = recordedEpochs
+    val pruned = rec.filter { case (d, _) => referenced.contains(d) }
+    if (pruned.size != rec.size) atomicWrite(epochsPath, Json.write(pruned))
     deleted
   }
 

@@ -64,4 +64,45 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](t.addColumn("score", "double", "1.0"))
     assert(ex.getMessage.contains("already evolved"))
   }
+
+  test("initial defaults survive expiry of the first-committing manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("evo3").toString
+    val t = new LineageTable(root, 4)
+    val d1 = s"$root/data/run1"
+    Seq(("t1", "u1", 0, "completed", 5L))
+      .toDF("task_id", "url", "_bucket", "status", "processing_time_ms")
+      .write.parquet(d1)
+    t.commitSnapshot(Seq(d1), Nil, "run1") // d1's first commit: schema v0
+    t.addColumn("quality", "double", "0.5")
+    t.commitSnapshot(Seq(d1), Nil, "run2") // still referenced at v1
+    // GC the v0 manifest (d1 itself survives — run2 references it). The
+    // manifest-min inference would now see d1 first committed at v1 and
+    // flip its initial default to NULL; the durable EPOCHS record must not.
+    assert(t.expireSnapshots(0L) == 0) // no dirs deleted, only the manifest
+    assert(t.snapshotIds.size == 1)
+    val rows = t.read(spark).select("task_id", "quality").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(rows == Map("t1" -> Some(0.5)), "pre-evolution default lost after GC")
+  }
+
+  test("evolving over an existing physical column fails loud, not silently inert") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("evo4").toString
+    val t = new LineageTable(root, 4)
+    val d1 = s"$root/data/run1"
+    Seq(("t1", "u1", 0, "completed", 5L))
+      .toDF("task_id", "url", "_bucket", "status", "processing_time_ms")
+      .write.parquet(d1)
+    t.commitSnapshot(Seq(d1), Nil, "run1")
+    // with a session: rejected up front
+    val ex = intercept[IllegalArgumentException](
+      t.addColumn("status", "string", "'x'", Some(spark)))
+    assert(ex.getMessage.contains("already exists physically"))
+    // without a session the spec lands, but the read fails loud instead of
+    // silently ignoring the registered default
+    t.addColumn("status", "string", "'x'")
+    val ex2 = intercept[IllegalArgumentException](t.read(spark).collect())
+    assert(ex2.getMessage.contains("shadows a physical column"))
+  }
 }
