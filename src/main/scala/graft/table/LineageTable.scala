@@ -46,11 +46,13 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   def doneBuckets(runId: String): Set[Int] = {
     val dir = p("_checkpoint", runId)
     if (!Files.isDirectory(dir)) return Set.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("done-") && s.endsWith(".json") =>
-        s.stripPrefix("done-").stripSuffix(".json").toInt
-      }.toSet
+    scala.util.Using.resource(Files.list(dir)) { files =>
+      files.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("done-") && s.endsWith(".json") =>
+          s.stripPrefix("done-").stripSuffix(".json").toInt
+        }.toSet
+    }
   }
 
   def markDone(runId: String, bucket: Int, lineage: Map[String, Any]): Unit = {
@@ -89,6 +91,9 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     recordDirEpochs(dataDirs) // BEFORE the manifest: a dir must never be
     // referenced by a retained snapshot without its first-commit epoch
     // being durably recorded (see dirEpochs)
+    atomicWrite(p("_manifests", "LASTID"), id.toString) // BEFORE the
+    // manifest too: a crash between the writes skips an id (harmless),
+    // never reuses one (see nextSnapshotId)
     atomicWrite(p("_manifests", s"snapshot-$id.json"), Json.write(manifest))
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
     id
@@ -112,13 +117,15 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
                 spark: Option[SparkSession] = None): Int = {
     val specs = addedColumns
     require(!specs.exists(_._1 == name), s"column '$name' already evolved on $root")
-    // with a session, also reject shadowing a PHYSICAL column of the
-    // current snapshot (the spec would be permanently inert and block the
-    // name); without one, the same conflict fails loud at read time in
-    // applyEvolution instead of silently no-opping
-    for (s <- spark; id <- currentSnapshotId) {
-      val dirs = snapshot(id)("data_dirs").asInstanceOf[List[Any]].map(String.valueOf)
-      dirs.find(d => spark.get.read.parquet(d).columns.contains(name)).foreach { d =>
+    // with a session, also reject shadowing a PHYSICAL column anywhere in
+    // the RETAINED snapshot set — not just CURRENT: after a rollback, a
+    // later retained snapshot may carry the column, and admitting the spec
+    // would permanently brick readAt/roll-forward on it (applyEvolution
+    // fails loud on the shadow). Without a session the same conflict fails
+    // loud at read time instead of silently no-opping.
+    for (s <- spark) {
+      val dirs = snapshotIds.flatMap(dataDirsOf).distinct.filter(hasParquet)
+      dirs.find(d => s.read.parquet(d).columns.contains(name)).foreach { d =>
         throw new IllegalArgumentException(
           s"column '$name' already exists physically in $d — cannot evolve over it")
       }
@@ -201,15 +208,24 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     }
   }
 
-  /** Next id to allocate: max over ALL retained manifests + 1, not
-    * CURRENT+1. After rollbackTo, CURRENT can sit below retained later
-    * snapshots; CURRENT+1 would silently overwrite one of their manifests
-    * (orphaning its data dirs forever — expireSnapshots could never find
-    * them again). compact() uses the SAME allocator for its dir names so a
-    * rollback-then-compact sequence can never reuse an earlier compaction's
-    * runId and Overwrite a data dir a retained snapshot still references
+  /** Next id to allocate: one past the max of (retained manifest ids,
+    * durable _manifests/LASTID). Retained-max alone is not enough twice
+    * over: (a) after rollbackTo, CURRENT sits below retained later
+    * snapshots, and CURRENT+1 would overwrite one of their manifests;
+    * (b) after rollback + expireSnapshots, the retained max itself SHRINKS
+    * — ids of expired snapshots would be reallocated to unrelated new
+    * commits, silently corrupting any consumer that checkpointed a
+    * changesSince/readAt id (it would read a same-numbered but different
+    * snapshot instead of getting the documented expired-id error). LASTID
+    * (written at every commit) makes allocation monotonic for the table's
+    * lifetime. compact() uses the SAME allocator for its dir names
     * (single-writer model, as everywhere in this layer). */
-  private[table] def nextSnapshotId: Long = snapshotIds.lastOption.getOrElse(0L) + 1L
+  private[table] def nextSnapshotId: Long = {
+    val f = p("_manifests", "LASTID")
+    val durable =
+      if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8).trim.toLong else 0L
+    math.max(snapshotIds.lastOption.getOrElse(0L), durable) + 1L
+  }
 
   /** Snapshot ids present in the manifest dir, ascending — the
     * `snapshots` metadata-table analog; expired ids are gone. */
@@ -282,8 +298,9 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * `sinceId`. A compaction between the two snapshots REWRITES history
     * into fresh dirs — every row would look "added" — so that case raises
     * instead of silently double-delivering; consumers resume from the
-    * compacted snapshot with a full read. Returns an empty set of dirs as
-    * an empty DataFrame of the table's schema via the caller's own read. */
+    * compacted snapshot with a full read. An empty delta returns an empty
+    * DataFrame of the table's schema. Tombstoned tasks are filtered like
+    * read() — append-only CDC could never retract them afterwards. */
   def changesSince(spark: SparkSession, sinceId: Long, untilId: Option[Long] = None): DataFrame = {
     val toId = untilId.orElse(currentSnapshotId).getOrElse(
       throw new IllegalArgumentException(s"table $root has no committed snapshot"))
@@ -298,8 +315,26 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       s"snapshots $sinceId..$toId of $root are not append-only (compaction or " +
         s"rollback rewrote ${removed.size} dir(s)); resume with a full read of $toId")
     val added = after.filterNot(before).filter(hasParquet)
-    if (added.isEmpty) readAt(spark, toId).limit(0)
-    else readDirs(spark, added, s"changes $sinceId..$toId of $root")
+    val df =
+      if (added.nonEmpty) readDirs(spark, added, s"changes $sinceId..$toId of $root")
+      else {
+        // empty delta: deliver the table's SCHEMA without requiring toId to
+        // carry data — a table whose only commits are empty waves must poll
+        // as empty, not throw; with no parquet anywhere there is no schema
+        // to offer and an empty zero-column frame is the honest answer
+        val anyDir = (dataDirsOf(toId) ++ snapshotIds.flatMap(dataDirsOf))
+          .distinct.find(hasParquet)
+        anyDir match {
+          case Some(d) => readDirs(spark, Seq(d), s"schema dir of $root").limit(0)
+          case None => spark.emptyDataFrame
+        }
+      }
+    // incremental consumers see the same visibility rule as read():
+    // tombstoned tasks never flow downstream (append-only CDC could not
+    // retract them later)
+    val ts = tombstones
+    if (ts.isEmpty || !df.columns.contains("task_id")) df
+    else df.where(!org.apache.spark.sql.functions.col("task_id").isin(ts.toSeq: _*))
   }
 
   private def readDirs(spark: SparkSession, dirs: Seq[String], what: String): DataFrame = {
@@ -359,12 +394,18 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * over every Redis key; here a tombstone list in the manifest layer):
     * `read()` filters tombstoned task ids; data files are untouched until
     * a compaction/GC rewrite. */
-  def deleteTask(taskId: String): Unit = {
-    val f = p("_manifests", "TOMBSTONES")
-    val existing = tombstones
-    if (!existing.contains(taskId))
-      atomicWrite(f, graft.core.Json.write(existing + taskId))
-  }
+  /** Tombstone writes are read-modify-write over one file, so every
+    * mutation serializes on a per-root JVM lock — two driver threads
+    * deleting concurrently (or a delete racing [[compact]]'s final
+    * rewrite) must not clobber each other's entries. In-process scope
+    * only, like the single-writer commit model. */
+  def deleteTask(taskId: String): Unit =
+    LineageTable.tombstoneLock(root).synchronized {
+      val f = p("_manifests", "TOMBSTONES")
+      val existing = tombstones
+      if (!existing.contains(taskId))
+        atomicWrite(f, graft.core.Json.write(existing + taskId))
+    }
 
   def tombstones: Set[String] = {
     val f = p("_manifests", "TOMBSTONES")
@@ -436,8 +477,13 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     // file: a concurrent deleteTask() between the capture above and here
     // stays in the list instead of silently resurrecting (readVisible may
     // have applied a superset of `applied`; keeping those extra ids is a
-    // harmless no-op filter over already-removed rows)
-    atomicWrite(p("_manifests", "TOMBSTONES"), Json.write(tombstones -- applied))
+    // harmless no-op filter over already-removed rows). Under the same
+    // lock as deleteTask: without it a delete landing between this read
+    // and the write would be clobbered — the exact resurrection this
+    // subtraction exists to prevent.
+    LineageTable.tombstoneLock(root).synchronized {
+      atomicWrite(p("_manifests", "TOMBSTONES"), Json.write(tombstones -- applied))
+    }
     id
   }
 
@@ -462,16 +508,19 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
         s("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)
     }.toSet
-    var deleted = 0
-    drop.foreach { id =>
+    // deduplicate first: consecutive appendCommit snapshots share dirs, and
+    // per-manifest deletion would count each shared dir once per manifest
+    val deletable = drop.flatMap { id =>
       val s = snapshot(id)
-      val dirs = s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
+      s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
         s("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)
-      dirs.filterNot(referenced.contains).foreach { d =>
-        deleteRecursively(Paths.get(d)); deleted += 1
-      }
-      Files.deleteIfExists(mdir.resolve(s"snapshot-$id.json"))
+    }.distinct.filterNot(referenced.contains)
+    var deleted = 0
+    deletable.foreach { d =>
+      val path = Paths.get(d)
+      if (Files.exists(path)) { deleteRecursively(path); deleted += 1 }
     }
+    drop.foreach(id => Files.deleteIfExists(mdir.resolve(s"snapshot-$id.json")))
     // prune epoch records for dirs no retained snapshot references (their
     // data is gone); referenced dirs keep their durable first-commit epoch
     // precisely BECAUSE their first-committing manifest may just have died
@@ -490,13 +539,25 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   }
 
   private def deleteRecursively(path: Path): Unit = {
-    if (Files.isDirectory(path))
-      Files.list(path).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(path)) // Using closes the stream: an open handle
+      // per directory leaks fds across a large GC walk and can block
+      // deleting the parent on some filesystems
+      scala.util.Using.resource(Files.list(path)) { s =>
+        s.iterator().asScala.toVector
+      }.foreach(deleteRecursively)
     Files.deleteIfExists(path)
   }
 }
 
 object LineageTable {
+
+  private val tombstoneLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-root lock serializing tombstone read-modify-write cycles within
+    * this JVM (multiple LineageTable instances may share a root). */
+  private[table] def tombstoneLock(root: String): Object =
+    tombstoneLocks.computeIfAbsent(root, _ => new Object)
 
   /** Deterministic bucket id for a url — stable across runs, reruns, and
     * partition counts (xxhash64, matching Spark's SQL xxhash64 seed 42). */

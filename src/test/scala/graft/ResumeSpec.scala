@@ -254,4 +254,71 @@ class ResumeSpec extends AnyFunSuite {
     // old run's data dir gone
     assert(!Files.exists(java.nio.file.Paths.get(root, "data", "old", "wave-0")))
   }
+
+  private def writeDir(root: String, run: String, rows: Seq[(String, String, Int, String, Long)]): String = {
+    val s = spark
+    import s.implicits._
+    val d = s"$root/data/$run"
+    rows.toDF("task_id", "url", "_bucket", "status", "processing_time_ms").write.parquet(d)
+    d
+  }
+
+  test("snapshot ids stay monotonic across rollback + expiry (no id reuse)") {
+    val root = freshRoot()
+    val t = new LineageTable(root, 4)
+    val d1 = writeDir(root, "r1", Seq(("t1", "u1", 0, "completed", 1L)))
+    val s1 = t.commitSnapshot(Seq(d1), Nil, "r1")
+    t.appendCommit(Seq(writeDir(root, "r2", Seq(("t2", "u2", 1, "completed", 1L)))), Nil, "r2")
+    val s3 = t.appendCommit(Seq(writeDir(root, "r3", Seq(("t3", "u3", 2, "completed", 1L)))), Nil, "r3")
+    assert(s3 == 3L)
+    // a consumer checkpointed sinceId = 3; then rollback + GC drop s2, s3
+    t.rollbackTo(s1)
+    t.expireSnapshots(0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(t.snapshotIds == Seq(s1))
+    // new commits must NOT reallocate the expired ids — the checkpointed
+    // consumer gets the documented expired-id error, never a same-numbered
+    // but unrelated snapshot
+    val s4 = t.appendCommit(Seq(writeDir(root, "r4", Seq(("t4", "u4", 3, "completed", 1L)))), Nil, "r4")
+    assert(s4 == 4L, s"id reused after expiry: got $s4")
+    val ex = intercept[IllegalArgumentException](t.changesSince(spark, 3L))
+    assert(ex.getMessage.contains("never committed, or expired"))
+    intercept[IllegalArgumentException](t.readAt(spark, 3L))
+  }
+
+  test("changesSince applies tombstones and polls empty waves as empty") {
+    val root = freshRoot()
+    val t = new LineageTable(root, 4)
+    val s1 = t.commitSnapshot(Seq(writeDir(root, "r1", Seq(("t1", "u1", 0, "completed", 1L)))), Nil, "r1")
+    t.appendCommit(Seq(writeDir(root, "r2",
+      Seq(("t2", "u2", 1, "completed", 1L), ("t3", "u3", 2, "completed", 1L)))), Nil, "r2")
+    t.deleteTask("t2")
+    // the deleted task never flows to an incremental consumer
+    assert(t.changesSince(spark, s1).select("task_id").collect().map(_.getString(0)).toSet
+      == Set("t3"))
+    // empty delta returns an empty frame of the table's schema
+    val none = t.changesSince(spark, s1, Some(s1))
+    assert(none.count() == 0 && none.columns.contains("task_id"))
+    // a table whose only commit is an empty wave polls as empty, not a throw
+    val root2 = freshRoot()
+    val t2 = new LineageTable(root2, 4)
+    val emptyDir = s"$root2/data/e1"
+    Files.createDirectories(java.nio.file.Paths.get(emptyDir))
+    Files.createFile(java.nio.file.Paths.get(emptyDir, "_SUCCESS"))
+    val e1 = t2.commitSnapshot(Seq(emptyDir), Nil, "e1")
+    assert(t2.changesSince(spark, e1).count() == 0)
+  }
+
+  test("expiry deleted-count deduplicates dirs shared by appendCommit chains") {
+    val root = freshRoot()
+    val t = new LineageTable(root, 4)
+    val dA = writeDir(root, "rA", Seq(("t1", "u1", 0, "completed", 1L)))
+    t.commitSnapshot(Seq(dA), Nil, "rA")
+    t.appendCommit(Seq(writeDir(root, "rB", Seq(("t2", "u2", 1, "completed", 1L)))), Nil, "rB")
+    // replace-commit supersedes: only dC stays referenced
+    val dC = writeDir(root, "rC", Seq(("t3", "u3", 2, "completed", 1L)))
+    t.commitSnapshot(Seq(dC), Nil, "rC")
+    // s1{A} and s2{A,B} drop; A is shared — deleted must count A,B once each
+    val deleted = t.expireSnapshots(0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(deleted == 2, s"expected 2 distinct dirs deleted, got $deleted")
+  }
 }
