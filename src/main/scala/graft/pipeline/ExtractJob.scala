@@ -173,16 +173,7 @@ object ExtractJob {
       // lineage from the written files (no recompute, columnar prune);
       // explicit schema: an empty wave writes only _SUCCESS
       val written = spark.read.schema(results.schema).parquet(dataDir)
-      val lineage = written.groupBy($"_bucket")
-        .agg(
-          count(lit(1)).as("rows"),
-          sum(when($"status" === "completed", 1L).otherwise(0L)).as("completed"),
-          sum(when($"status" === "failed", 1L).otherwise(0L)).as("failed"),
-          sum($"processing_time_ms").as("wall_ms"),
-        )
-        .withColumn("run_id", lit(cfg.runId))
-        .withColumn("wave", lit(waveId))
-        .withColumn("committed_at", current_timestamp())
+      val lineage = LineageTable.lineageFor(written, cfg.runId, waveId)
       lineage.write.mode(SaveMode.Overwrite).parquet(lineageDir)
 
       val stats = lineage.select($"_bucket", $"rows", $"completed", $"failed", $"wall_ms")

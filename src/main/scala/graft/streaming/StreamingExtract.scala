@@ -69,7 +69,12 @@ object StreamingExtract extends Serializable {
     * committed ([[commitStreamBatch]] returns false). Readers only ever see
     * the atomic CURRENT pointer, so a crash mid-batch is invisible. Manifest
     * size grows one dir per batch (exactly Iceberg's model); periodic
-    * `compact()` + `expireSnapshots` fold the history away. */
+    * `compact()` + `expireSnapshots` fold the history away — run them
+    * BETWEEN batches on the committing thread (the table layer is
+    * single-writer; concurrent maintenance can drop a racing stream
+    * commit from CURRENT), and give every stream incarnation a UNIQUE
+    * streamRunId (a reused id with a fresh checkpoint fails loud in
+    * commitStreamBatch instead of silently skipping batches). */
   def runToTable(
       spark: SparkSession,
       inputDir: String,
@@ -99,13 +104,36 @@ object StreamingExtract extends Serializable {
   /** Commit one extracted micro-batch as a table snapshot. Returns false
     * (and writes nothing) when this (streamRunId, batchId) already
     * committed — the replay-after-crash path. Single-writer per table, as
-    * everywhere in the table layer. */
+    * everywhere in the table layer: in particular, run table maintenance
+    * (compact/expireSnapshots) from the same thread BETWEEN batches (e.g.
+    * inside this foreachBatch), never concurrently with it.
+    *
+    * The committed/replayed decision reads the CURRENT manifest's
+    * `stream_state` (max committed batchId per stream run, carried
+    * forward through every commit by [[graft.table.LineageTable
+    * .commitSnapshot]]). That makes the check correct across BOTH crash
+    * windows and maintenance: a manifest written without its CURRENT
+    * update (crash between the two writes) is invisible to readers AND to
+    * this check, so the replay recommits it (a manifest-existence scan —
+    * the previous design — would skip it and lose the batch); and
+    * compaction/expiry fold manifests away without erasing the record (the
+    * scan would then double-commit a late replay). One CURRENT read per
+    * batch, independent of stream age. A batchId BELOW the recorded max
+    * is not a replay Spark can produce (only the last uncommitted batch
+    * replays) — it means a fresh checkpoint or a second stream is reusing
+    * this streamRunId, and it throws instead of silently dropping data. */
   def commitStreamBatch(table: graft.table.LineageTable, batch: DataFrame,
                         streamRunId: String, batchId: Long): Boolean = {
+    table.streamState.get(streamRunId) match {
+      case Some(last) if batchId == last => return false // replay, already visible
+      case Some(last) if batchId < last =>
+        throw new IllegalStateException(
+          s"batch $batchId of stream '$streamRunId' is behind the table's recorded " +
+            s"batch $last: a fresh checkpoint or a second stream is reusing this " +
+            "streamRunId — give each stream incarnation a unique streamRunId")
+      case _ => ()
+    }
     val runId = s"$streamRunId-b$batchId"
-    val already = table.snapshotIds.exists(id =>
-      String.valueOf(table.snapshot(id).getOrElse("run_id", "")) == runId)
-    if (already) return false
     val spark = batch.sparkSession
     val dataDir = s"${table.root}/data/$runId"
     val lineageDir = s"${table.root}/lineage/$runId"
@@ -116,22 +144,14 @@ object StreamingExtract extends Serializable {
     // lineage from the written files (no kernel recompute, columnar prune);
     // explicit schema: an empty batch writes only _SUCCESS
     val written = spark.read.schema(results.schema).parquet(dataDir)
-    val lineage = written.groupBy(col("_bucket"))
-      .agg(
-        count(lit(1)).as("rows"),
-        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
-        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failed"),
-        sum(col("processing_time_ms")).as("wall_ms"),
-      )
-      .withColumn("run_id", lit(runId))
-      .withColumn("wave", lit(batchId))
-      .withColumn("committed_at", current_timestamp())
-    lineage.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lineageDir)
+    graft.table.LineageTable.lineageFor(written, runId, wave = batchId)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(lineageDir)
     table.commitSnapshot(
       table.currentDataDirs :+ dataDir,
       table.currentLineageDirs :+ lineageDir,
       runId,
-      Map("stream_batch_id" -> batchId))
+      Map("stream_batch_id" -> batchId,
+        "stream_state" -> Map(streamRunId -> batchId)))
     true
   }
 
@@ -453,7 +473,12 @@ object StreamingExtract extends Serializable {
             out += emit(userId, st)
             cur = Some(SessionState(t, t, 1, e.value))
           case Some(st) =>
-            cur = Some(SessionState(st.start, t, st.n + 1, st.value + e.value))
+            // min/max keep start ≤ last under CROSS-batch late events (the
+            // in-batch sort can't order those): a late t < st.last must
+            // not drag `last` backwards — that would split the session on
+            // the next on-time event and emit a negative duration
+            cur = Some(SessionState(math.min(st.start, t), math.max(st.last, t),
+              st.n + 1, st.value + e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))
         }

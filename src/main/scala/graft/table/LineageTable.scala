@@ -79,6 +79,12 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
                      extra: Map[String, Any] = Map.empty): Long = {
     Files.createDirectories(p("_manifests"))
     val id = nextSnapshotId
+    // stream_state (max committed batch id per stream run) is carried
+    // forward through EVERY commit — append, replace, compaction — so the
+    // streaming sink's replay check survives manifest expiry and is one
+    // CURRENT read, not a scan of all retained manifests
+    val mergedStream: Map[String, Any] = streamState.map { case (k, v) => k -> (v: Any) } ++
+      extra.get("stream_state").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
     val manifest: Map[String, Any] = Map(
       "snapshot_id" -> id,
       "run_id" -> runId,
@@ -87,7 +93,8 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       "lineage_dirs" -> lineageDirs,
       "schema_version" -> schemaVersion,
       "parent" -> currentSnapshotId.map(_.asInstanceOf[Any]).orNull,
-    ) ++ extra
+    ) ++ (extra - "stream_state") ++
+      (if (mergedStream.nonEmpty) Map("stream_state" -> mergedStream) else Map.empty)
     recordDirEpochs(dataDirs) // BEFORE the manifest: a dir must never be
     // referenced by a retained snapshot without its first-commit epoch
     // being durably recorded (see dirEpochs)
@@ -98,6 +105,20 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     atomicWrite(p("_manifests", "CURRENT"), id.toString)
     id
   }
+
+  /** Max committed batch id per stream run, read from the CURRENT
+    * manifest (where [[commitSnapshot]] carries it forward). The atomic
+    * CURRENT pointer is the commit's visibility point, so this is also
+    * the streaming sink's replay-vs-committed truth: a manifest written
+    * without its CURRENT update (crash window) is correctly invisible
+    * here, and manifest expiry/compaction cannot erase the record. */
+  def streamState: Map[String, Long] =
+    currentSnapshotId
+      .flatMap(id => snapshot(id).get("stream_state"))
+      .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) =>
+        k -> String.valueOf(v).toDouble.toLong
+      })
+      .getOrElse(Map.empty)
 
   // ------------------------------------------------------ schema evolution
 
@@ -453,22 +474,15 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
 
     // resolveLatestBy = (keyCol, versionCol): materialize merge-on-read
     // resolution (appendCommit duplicates collapse physically)
-    resolveLatestBy
+    val visible = resolveLatestBy
       .map { case (k, v) => readLatest(spark, k, v) }
       .getOrElse(readVisible(spark))
-      .write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
+    visible.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(dataDir)
 
-    val written = spark.read.parquet(dataDir)
-    written.groupBy(col("_bucket"))
-      .agg(
-        count(lit(1)).as("rows"),
-        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
-        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failed"),
-        sum(col("processing_time_ms")).as("wall_ms"),
-      )
-      .withColumn("run_id", lit(runId))
-      .withColumn("wave", lit(0))
-      .withColumn("committed_at", current_timestamp())
+    // explicit schema: an all-tombstoned table compacts to an empty dir
+    // (only _SUCCESS), where schema inference would crash mid-compaction
+    val written = spark.read.schema(visible.schema).parquet(dataDir)
+    LineageTable.lineageFor(written, runId, wave = 0L)
       .write.mode(SaveMode.Overwrite).parquet(lineageDir)
 
     val id = commitSnapshot(Seq(dataDir), Seq(lineageDir), runId,
@@ -530,6 +544,56 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     deleted
   }
 
+  /** Delete data/lineage dirs referenced by NO retained manifest and NO
+    * resume marker, older than `olderThanMs` (Iceberg remove_orphan_files
+    * analog). Crash windows leak such dirs — e.g. compact() dies between
+    * writing its full-table copy and committing the manifest (LASTID
+    * advanced, manifest never written): no snapshot ever references the
+    * dir, so expireSnapshots can never find it, and crash loops accumulate
+    * table-sized copies. Resume-marker dirs are NOT orphans: a killed
+    * ExtractJob's committed buckets live in marker-referenced dirs until
+    * the next wave commit, and deleting them would make resume skip
+    * re-extraction with the data gone. Age guard + single-writer
+    * discipline: run only while nothing is writing the table. */
+  def removeOrphans(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
+    val referenced = snapshotIds.flatMap { id =>
+      val s = snapshot(id)
+      s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
+        s("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)
+    }.toSet ++ markerDirs
+    var n = 0
+    Seq("data", "lineage").foreach { kind =>
+      val base = p(kind)
+      if (Files.isDirectory(base)) {
+        val children = scala.util.Using.resource(Files.list(base))(_.iterator().asScala.toVector)
+        children.foreach { d =>
+          if (!referenced.contains(d.toString) &&
+              Files.getLastModifiedTime(d).toMillis < nowMs - olderThanMs) {
+            deleteRecursively(d); n += 1
+          }
+        }
+      }
+    }
+    n
+  }
+
+  /** data/lineage dirs referenced by resume markers of any run. */
+  private def markerDirs: Set[String] = {
+    val base = p("_checkpoint")
+    if (!Files.isDirectory(base)) return Set.empty
+    val runs = scala.util.Using.resource(Files.list(base))(_.iterator().asScala.toVector)
+    runs.flatMap { run =>
+      if (!Files.isDirectory(run)) Nil
+      else scala.util.Using.resource(Files.list(run))(_.iterator().asScala.toVector)
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .flatMap { f =>
+          val m = Json.parse(new String(Files.readAllBytes(f), UTF_8))
+            .asInstanceOf[Map[String, Any]]
+          Seq("data_dir", "lineage_dir").flatMap(k => m.get(k).map(String.valueOf))
+        }
+    }.toSet
+  }
+
   // ---------------------------------------------------------------- util
 
   private def atomicWrite(target: Path, content: String): Unit = {
@@ -558,6 +622,24 @@ object LineageTable {
     * this JVM (multiple LineageTable instances may share a root). */
   private[table] def tombstoneLock(root: String): Object =
     tombstoneLocks.computeIfAbsent(root, _ => new Object)
+
+  /** THE lineage-row aggregation over a written data dir — one definition
+    * shared by the batch wave commit (ExtractJob), the streaming sink
+    * (commitStreamBatch), and compaction, so the lineage schema Stats/
+    * readLineage consume cannot drift between the three writers. */
+  def lineageFor(written: DataFrame, runId: String, wave: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    written.groupBy(col("_bucket"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(when(col("status") === "completed", 1L).otherwise(0L)).as("completed"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("failed"),
+        sum(col("processing_time_ms")).as("wall_ms"),
+      )
+      .withColumn("run_id", lit(runId))
+      .withColumn("wave", lit(wave))
+      .withColumn("committed_at", current_timestamp())
+  }
 
   /** Deterministic bucket id for a url — stable across runs, reruns, and
     * partition counts (xxhash64, matching Spark's SQL xxhash64 seed 42). */

@@ -63,6 +63,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(0).getLong(1) == 2 && rows(0).getDouble(2) == 3.0 && rows(0).getLong(3) == 10000L)
   }
 
+  test("sessionizer: cross-batch late event cannot drag the session backwards") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingExtract.{Ev, sessionize}
+    val mem = MemoryStream[Ev]
+    val q = sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    val t0 = 1735689600000L
+    mem.addData(Ev(7, new java.sql.Timestamp(t0 + 100000), 1.0))
+    q.processAllAvailable()
+    // late event 50s BEFORE the session start arrives in a later batch
+    // (NoTimeout admits it): it must extend the session downward, not
+    // move `last` backwards
+    mem.addData(Ev(7, new java.sql.Timestamp(t0 + 50000), 2.0))
+    q.processAllAvailable()
+    // an event exactly gapMs after the TRUE last event continues the session
+    mem.addData(Ev(7, new java.sql.Timestamp(t0 + 100000 + 60000), 3.0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from late_sessions").count() == 0, "session wrongly split")
+    // an event far past the gap closes it: one session, all 3 events,
+    // duration from the late minimum to the on-time maximum
+    mem.addData(Ev(7, new java.sql.Timestamp(t0 + 400000), 0.0))
+    q.processAllAvailable()
+    val rows = spark.sql("select n_events, session_value, duration_ms from late_sessions").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 3 && rows(0).getDouble(1) == 6.0)
+    assert(rows(0).getLong(2) == 110000L, s"duration ${rows(0).getLong(2)} (must be last-start, never negative)")
+  }
+
   test("streaming exact dedup: re-crawls dropped within and across batches") {
     val s = spark
     import s.implicits._

@@ -99,4 +99,79 @@ class StreamingTableSpec extends AnyFunSuite {
     val ex = intercept[IllegalArgumentException](table.changesSince(spark, s1))
     assert(ex.getMessage.contains("not append-only"))
   }
+
+  test("replay check survives compaction + expiry; stale streamRunId reuse fails loud") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-stt-state-").toString
+    val table = new LineageTable(root, numBuckets = 4)
+    val batch = graft.pipeline.ExtractKernel
+      .extract(spark.createDataset(CorpusGen.pages(8))(implicitly),
+        graft.model.ConversionOptions())(spark).toDF()
+
+    assert(StreamingExtract.commitStreamBatch(table, batch, "s", 0L))
+    assert(StreamingExtract.commitStreamBatch(table, batch, "s", 1L))
+    val rows = table.read(spark).count()
+    // maintenance folds the per-batch manifests away — the run_id evidence
+    // the old existence-scan relied on is GONE, but stream_state carries
+    // through compaction and expiry in the CURRENT manifest
+    table.compact(spark)
+    table.expireSnapshots(0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(table.streamState == Map("s" -> 1L))
+    // a late replay of the last batch after maintenance must still skip
+    assert(!StreamingExtract.commitStreamBatch(table, batch, "s", 1L))
+    assert(table.read(spark).count() == rows, "post-maintenance replay duplicated rows")
+    // a batch BEHIND the recorded max is a fresh-checkpoint/second-stream
+    // misconfiguration: loud error, not a silent skip of new data
+    val ex = intercept[IllegalStateException](
+      StreamingExtract.commitStreamBatch(table, batch, "s", 0L))
+    assert(ex.getMessage.contains("unique streamRunId"))
+    // the stream proceeds normally past the recorded max
+    assert(StreamingExtract.commitStreamBatch(table, batch, "s", 2L))
+    assert(table.streamState == Map("s" -> 2L))
+  }
+
+  test("compacting an all-tombstoned table succeeds with an empty visible set") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-stt-tomb-").toString
+    val table = new LineageTable(root, numBuckets = 4)
+    val batch = graft.pipeline.ExtractKernel
+      .extract(spark.createDataset(CorpusGen.pages(5))(implicitly),
+        graft.model.ConversionOptions())(spark).toDF()
+    StreamingExtract.commitStreamBatch(table, batch, "s", 0L)
+    table.readVisible(spark).select("task_id").collect().map(_.getString(0))
+      .foreach(table.deleteTask)
+    table.compact(spark) // must not crash on schema inference of the empty dir
+    assert(table.tombstones.isEmpty, "applied tombstones fold away")
+    // the compacted table has no data files at all; read() reports that
+    // loudly by (pre-existing) contract rather than inventing a schema
+    val ex = intercept[IllegalArgumentException](table.read(spark))
+    assert(ex.getMessage.contains("no data files"))
+  }
+
+  test("removeOrphans deletes unreferenced aged dirs, keeps referenced and marker dirs") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft-stt-orph-").toString
+    val table = new LineageTable(root, numBuckets = 4)
+    val batch = graft.pipeline.ExtractKernel
+      .extract(spark.createDataset(CorpusGen.pages(5))(implicitly),
+        graft.model.ConversionOptions())(spark).toDF()
+    StreamingExtract.commitStreamBatch(table, batch, "s", 0L)
+    // crash-leaked dir: written, never referenced by any manifest
+    val orphan = java.nio.file.Paths.get(root, "data", "compact-dead")
+    Files.createDirectories(orphan)
+    Files.createFile(orphan.resolve("part-0.parquet"))
+    // marker-referenced dir of a killed (resumable) run: NOT an orphan
+    val resumable = java.nio.file.Paths.get(root, "data", "killed-run")
+    Files.createDirectories(resumable)
+    table.markDone("killed-run", 0, Map("data_dir" -> resumable.toString, "lineage_dir" -> ""))
+    val removed = table.removeOrphans(olderThanMs = 0L,
+      nowMs = System.currentTimeMillis() + 1000000L)
+    assert(removed == 1, s"expected exactly the crash-leaked dir removed, got $removed")
+    assert(!Files.exists(orphan))
+    assert(Files.exists(resumable), "resume-marker dir must survive the sweep")
+    assert(table.read(spark).count() == 5, "referenced data untouched")
+  }
 }
