@@ -88,37 +88,70 @@ object ExtractJob {
       .withColumn("_bucket", pmod(xxhash64($"url"), lit(cfg.numBuckets)).cast("int"))
 
     val done = table.doneBuckets(cfg.runId)
-    val pending = (0 until cfg.numBuckets).filterNot(done.contains)
-    val waves = pending.grouped(cfg.bucketsPerWave).toVector
+    // FIXED wave partition of the full bucket range — never regrouped from
+    // the pending set: a kill inside the per-bucket marker loop leaves a
+    // wave partially marked, and pending-based regrouping would shift wave
+    // boundaries so the old (fully-written) wave dir and the re-extracted
+    // shifted waves BOTH reach the snapshot, duplicating every unmarked
+    // bucket of the partial wave. With fixed chunks the partial wave re-runs
+    // WHOLE into the same wave dir (Overwrite), re-extracting its already-
+    // marked buckets (bounded: < one wave of wasted work) but never
+    // double-counting a row.
+    val allWaves = (0 until cfg.numBuckets).grouped(cfg.bucketsPerWave).toVector
+    val waves = allWaves.filter(_.exists(b => !done.contains(b)))
+    val rerun = waves.flatten.toSet
 
-    // stage once, prune per wave (see Config.stageInput)
+    // resume-config guard, staging or not: done-markers written under one
+    // (numBuckets, dedup) are lies under another — numBuckets changes the
+    // url→bucket map, dedup changes what a bucket's rows mean
+    val cfgFp: Map[String, Any] =
+      Map("num_buckets" -> cfg.numBuckets, "dedup" -> cfg.dedup.toString)
+    val cfgFile = java.nio.file.Paths.get(cfg.root, "_checkpoint", cfg.runId, "CONFIG.json")
+    if (java.nio.file.Files.exists(cfgFile)) {
+      val prev = graft.core.Json.parse(new String(
+        java.nio.file.Files.readAllBytes(cfgFile), java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[Map[String, Any]]
+      require(cfgFp.forall { case (k, v) => prev.get(k).map(String.valueOf).contains(String.valueOf(v)) },
+        s"resume of runId '${cfg.runId}' with a different config (recorded $prev vs " +
+          s"requested $cfgFp); use a new runId to run with a different configuration")
+    } else {
+      java.nio.file.Files.createDirectories(cfgFile.getParent)
+      java.nio.file.Files.write(cfgFile,
+        graft.core.Json.write(cfgFp).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
+    // stage once, prune per wave (see Config.stageInput). An existing
+    // staging is ALWAYS reused on resume — even with one wave left, the
+    // remaining buckets must extract from the same pinned input as the
+    // completed ones, not from a possibly-drifted live input.
     val stageDir = s"${cfg.root}/_stage/${cfg.runId}"
+    val fpFile = java.nio.file.Paths.get(stageDir, "_FINGERPRINT.json")
+    // complete = data committed AND fingerprint present: a crash between
+    // the parquet job and the fingerprint write must re-stage, not accept
+    // an unverifiable staging as-is
+    def stagingComplete =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS")) &&
+        java.nio.file.Files.exists(fpFile)
     val bucketed: DataFrame =
-      if (cfg.stageInput && waves.length > 1) {
+      if (cfg.stageInput && (waves.length > 1 || stagingComplete)) {
         // A runId pins its staged INPUT DATA immutably by design: completed
         // buckets were extracted from the staged snapshot, so a resume must
-        // not silently mix a drifted live input mid-run. But a resume whose
-        // CONFIG disagrees with the staging (bucket count, dedup mode,
-        // schema) would make the done-markers and partition layout lies —
-        // fail loudly instead of extracting from a mismatched staging.
-        val fpFile = java.nio.file.Paths.get(stageDir, "_FINGERPRINT.json")
+        // not silently mix a drifted live input mid-run. A resume whose
+        // staging SCHEMA disagrees fails loudly (numBuckets/dedup are
+        // already guarded by CONFIG.json above).
         val fp: Map[String, Any] = Map(
           "num_buckets" -> cfg.numBuckets,
           "dedup" -> cfg.dedup.toString,
           "schema" -> withBucket.schema.catalogString,
         )
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(stageDir, "_SUCCESS"))) {
+        if (!stagingComplete) {
           withBucket.write.mode(SaveMode.Overwrite).partitionBy("_bucket").parquet(stageDir)
           java.nio.file.Files.write(fpFile, graft.core.Json.write(fp).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         } else {
           val staged =
-            if (java.nio.file.Files.exists(fpFile))
-              graft.core.Json.parse(new String(java.nio.file.Files.readAllBytes(fpFile), java.nio.charset.StandardCharsets.UTF_8))
-                .asInstanceOf[Map[String, Any]]
-            else Map.empty[String, Any]
-          // a staging without a fingerprint (pre-fingerprint layout) is
-          // accepted as-is — it can only be verified going forward
-          val same = staged.isEmpty ||
+            graft.core.Json.parse(new String(java.nio.file.Files.readAllBytes(fpFile), java.nio.charset.StandardCharsets.UTF_8))
+              .asInstanceOf[Map[String, Any]]
+          val same =
             fp.forall { case (k, v) => staged.get(k).map(String.valueOf).contains(String.valueOf(v)) }
           require(same,
             s"resume of runId '${cfg.runId}' does not match its staged input at $stageDir " +
@@ -193,28 +226,20 @@ object ExtractJob {
     }
 
     // snapshot: union of data dirs recorded by ALL markers of this run
-    // (including waves committed by a previous killed attempt)
-    val markers = (0 until cfg.numBuckets).flatMap { b =>
-      val f = java.nio.file.Paths.get(cfg.root, "_checkpoint", cfg.runId, s"done-$b.json")
-      if (java.nio.file.Files.exists(f))
-        Some(graft.core.Json.parse(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
-          .asInstanceOf[Map[String, Any]])
-      else None
-    }
+    // (including waves committed by a previous killed attempt) — read
+    // through the table layer, which owns the marker layout
+    val markers = table.markers(cfg.runId)
     val dataDirs = markers.map(m => String.valueOf(m("data_dir"))).distinct
     val lineageDirs = markers.map(m => String.valueOf(m("lineage_dir"))).distinct
     val snapId = table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
 
-    // staging is scratch: drop it once the snapshot is durable
-    val stagePath = java.nio.file.Paths.get(stageDir)
-    if (java.nio.file.Files.isDirectory(stagePath)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(java.nio.file.Files.walk(stagePath)) { stream =>
-        stream.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    // staging AND markers are scratch: drop both once the snapshot is
+    // durable. Stale markers would let a rerun of this runId after GC
+    // commit a snapshot of deleted dirs, and they shield this run's dirs
+    // from removeOrphans forever.
+    table.deleteRecursively(java.nio.file.Paths.get(stageDir))
+    table.clearMarkers(cfg.runId)
 
-    Report(snapId, waves.length, done.size, pending.size)
+    Report(snapId, waves.length, cfg.numBuckets - rerun.size, rerun.size)
   }
 }

@@ -94,8 +94,19 @@ object ExtractKernel {
             }.getOrElse(Map.empty[String, String])
         } else Map.empty
 
-      if (System.currentTimeMillis() - t0 > timeoutMs)
-        throw new IllegalStateException(s"per-row time limit ${timeoutMs}ms exceeded")
+      // COOPERATIVE budget checks between stages (the Celery-soft-limit
+      // analog, reference worker.py): a stage that hangs internally cannot
+      // be interrupted without killing the task thread — what the checks
+      // guarantee is that an overrun is detected at the next stage
+      // boundary and the row FAILS with a timeout envelope instead of
+      // completing arbitrarily late. Parse→serialize→chunk/embed are each
+      // checked; per-stage internal costs are bounded by input size.
+      def checkBudget(stage: String): Unit =
+        if (System.currentTimeMillis() - t0 > timeoutMs)
+          throw new IllegalStateException(
+            s"per-row time limit ${timeoutMs}ms exceeded after $stage")
+
+      checkBudget("parse")
 
       val md = MarkdownSerializer.serialize(doc)
       val content = opts.outputFormat match {
@@ -105,9 +116,11 @@ object ExtractKernel {
         case OutputFormat.DocTags => DocTagsSerializer.serialize(doc)
         case _ => md
       }
+      checkBudget("serialize")
 
       val tables: Seq[TableData] =
         if (opts.extractTables) extractTables(doc) else Seq.empty
+      checkBudget("tables")
 
       val chunks: Seq[Chunk] = {
         val raw = Chunker.chunkText(content, opts.chunkSize, opts.chunkOverlap)
@@ -123,6 +136,7 @@ object ExtractKernel {
           )
         }
       }
+      checkBudget("chunk_embed")
 
       val completed = System.currentTimeMillis()
       ExtractResult(

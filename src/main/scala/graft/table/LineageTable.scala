@@ -61,6 +61,26 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     atomicWrite(dir.resolve(s"done-$bucket.json"), Json.write(lineage))
   }
 
+  /** The raw resume-marker maps of a run, in bucket order — the layer owns
+    * the marker layout, so snapshot assembly (ExtractJob) reads through
+    * here instead of hardcoding paths. */
+  def markers(runId: String): Seq[Map[String, Any]] = {
+    val dir = p("_checkpoint", runId)
+    doneBuckets(runId).toSeq.sorted.flatMap { b =>
+      val f = dir.resolve(s"done-$b.json")
+      if (Files.exists(f))
+        Some(Json.parse(new String(Files.readAllBytes(f), UTF_8)).asInstanceOf[Map[String, Any]])
+      else None
+    }
+  }
+
+  /** Drop a run's resume markers (call once its snapshot is durable):
+    * stale markers would let a rerun of the same runId after GC commit a
+    * snapshot referencing deleted dirs, and they shield the run's dirs
+    * from [[removeOrphans]] forever. */
+  def clearMarkers(runId: String): Unit =
+    deleteRecursively(p("_checkpoint", runId))
+
   // -------------------------------------------------------------- snapshot
 
   def currentSnapshotId: Option[Long] = {
@@ -561,16 +581,38 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
       s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
         s("lineage_dirs").asInstanceOf[List[Any]].map(String.valueOf)
     }.toSet ++ markerDirs
+    // referenced paths may be NESTED under a listed child (ExtractJob's
+    // data/<runId>/wave-N layout vs the flat data/<runId> of compact/
+    // streaming) — a child is protected if any referenced path equals it
+    // OR lives inside it; exact-match alone would delete a whole run tree
+    // whose wave dirs the CURRENT snapshot references
+    def covered(child: String): Boolean =
+      referenced.exists(r => r == child || r.startsWith(child + "/"))
     var n = 0
     Seq("data", "lineage").foreach { kind =>
       val base = p(kind)
       if (Files.isDirectory(base)) {
         val children = scala.util.Using.resource(Files.list(base))(_.iterator().asScala.toVector)
         children.foreach { d =>
-          if (!referenced.contains(d.toString) &&
+          if (!covered(d.toString) &&
               Files.getLastModifiedTime(d).toMillis < nowMs - olderThanMs) {
             deleteRecursively(d); n += 1
           }
+        }
+      }
+    }
+    // staged-input copies: scratch for a single runId, deleted by the job
+    // itself on success — an ABANDONED run's staging (no resume markers
+    // left) is pure leak; a resumable run (markers present) keeps its
+    // staging, which pins its input immutably for the resume
+    val stageBase = p("_stage")
+    if (Files.isDirectory(stageBase)) {
+      val children = scala.util.Using.resource(Files.list(stageBase))(_.iterator().asScala.toVector)
+      children.foreach { d =>
+        val runId = d.getFileName.toString
+        if (!Files.isDirectory(p("_checkpoint", runId)) &&
+            Files.getLastModifiedTime(d).toMillis < nowMs - olderThanMs) {
+          deleteRecursively(d); n += 1
         }
       }
     }
@@ -602,7 +644,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def deleteRecursively(path: Path): Unit = {
+  private[graft] def deleteRecursively(path: Path): Unit = {
     if (Files.isDirectory(path)) // Using closes the stream: an open handle
       // per directory leaks fds across a large GC walk and can block
       // deleting the parent on some filesystems

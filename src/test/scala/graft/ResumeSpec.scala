@@ -95,13 +95,13 @@ class ResumeSpec extends AnyFunSuite {
     intercept[Kill] {
       ExtractJob.run(spark, pagesDs, cfg, afterWave = w => if (w == 0) throw new Kill)
     }
-    // staging exists with a fingerprint; a resume that silently extracted
-    // from it under a different dedup mode / bucket count would produce a
-    // table whose done-markers and partition layout lie
+    // a resume that silently extracted under a different dedup mode /
+    // bucket count would produce a table whose done-markers and partition
+    // layout lie — the CONFIG guard fails loud, staged or not
     val ex = intercept[IllegalArgumentException] {
       ExtractJob.run(spark, pagesDs, cfg.copy(dedup = ExtractJob.PostDedup))
     }
-    assert(ex.getMessage.contains("staged input"), ex.getMessage)
+    assert(ex.getMessage.contains("different config"), ex.getMessage)
     // identical config resumes normally
     val report = ExtractJob.run(spark, pagesDs, cfg)
     assert(report.bucketsSkipped == 4 && report.bucketsRun == 12)
@@ -306,6 +306,48 @@ class ResumeSpec extends AnyFunSuite {
     Files.createFile(java.nio.file.Paths.get(emptyDir, "_SUCCESS"))
     val e1 = t2.commitSnapshot(Seq(emptyDir), Nil, "e1")
     assert(t2.changesSince(spark, e1).count() == 0)
+  }
+
+  test("kill inside the marker loop: fixed waves re-run whole, no duplicate rows") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "runM", numBuckets = 16, bucketsPerWave = 4)
+    final class Kill extends RuntimeException("simulated kill")
+    intercept[Kill] {
+      ExtractJob.run(spark, pagesDs, cfg, afterWave = w => if (w == 1) throw new Kill)
+    }
+    // simulate the kill landing INSIDE wave 1's marker loop instead of
+    // after it: wave-4's data/lineage are fully written but only some of
+    // its buckets are marked — the state pending-based wave regrouping
+    // turned into duplicated rows (shifted waves + the old full wave dir)
+    val table = new LineageTable(root, 16)
+    Files.delete(java.nio.file.Paths.get(root, "_checkpoint", "runM", "done-6.json"))
+    Files.delete(java.nio.file.Paths.get(root, "_checkpoint", "runM", "done-7.json"))
+    val report = ExtractJob.run(spark, pagesDs, cfg)
+    // the partial wave (4..7) re-runs WHOLE; waves 2-3 also run
+    assert(report.bucketsRun == 12 && report.bucketsSkipped == 4, report.toString)
+    val df = table.read(spark)
+    assert(df.count() == pagesDs.select("url").distinct().count(), "duplicated rows")
+    assert(df.groupBy("url").count().where("count > 1").count() == 0)
+    assert(table.readLineage(spark).groupBy("_bucket").count().where("count > 1").count() == 0)
+  }
+
+  test("completed run clears markers and staging; orphan sweep spares the nested layout") {
+    val root = freshRoot()
+    val cfg = ExtractJob.Config(root, runId = "runC", numBuckets = 8, bucketsPerWave = 2)
+    ExtractJob.run(spark, pagesDs, cfg)
+    val table = new LineageTable(root, 8)
+    // markers + CONFIG + staging are gone once the snapshot is durable —
+    // stale markers would let a rerun commit GC'd dirs and shield dirs
+    // from removeOrphans forever
+    assert(table.doneBuckets("runC").isEmpty, "markers must clear after the final commit")
+    assert(!Files.isDirectory(java.nio.file.Paths.get(root, "_stage", "runC")))
+    val n = table.read(spark).count()
+    // ExtractJob's data/<runId>/wave-N layout: the snapshot references
+    // wave-level dirs, removeOrphans lists data/<runId> — prefix coverage
+    // must protect the whole run tree
+    val removed = table.removeOrphans(0L, nowMs = System.currentTimeMillis() + 1000000L)
+    assert(removed == 0, s"orphan sweep deleted referenced dirs (removed=$removed)")
+    assert(table.read(spark).count() == n)
   }
 
   test("expiry deleted-count deduplicates dirs shared by appendCommit chains") {
