@@ -33,13 +33,19 @@ object Bench {
     val steal0 = stealTicks()
 
     // JVM/codegen warmup on the small sf so per-query numbers are not
-    // first-query-pays-startup noise
-    SparkEntry.entry(spark).count()
-    // materialize + cache the pages corpus for this sf up front: corpus
-    // synthesis is not part of the measured system (production reads a
-    // pages table), so no single x_ query should be billed its one-time
-    // generation cost
-    graft.queries.ExtractionQueries.pagesDs(spark, sfDir).count()
+    // first-query-pays-startup noise. Best-effort: a missing warmup sf
+    // must not abort the run before the ONE-JSON-line contract is met.
+    try {
+      SparkEntry.entry(spark).count()
+      // materialize + cache the pages corpus for this sf up front: corpus
+      // synthesis is not part of the measured system (production reads a
+      // pages table), so no single x_ query should be billed its one-time
+      // generation cost
+      graft.queries.ExtractionQueries.pagesDs(spark, sfDir).count()
+      ()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+    }
 
     def timeOnce(f: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -73,7 +79,12 @@ object Bench {
         }
         val usable = if (runs.exists(clean)) runs.filter(clean) else runs
         usable.map(_._1).min
-      } catch { case _: Throwable => -1.0 }
+        // NonFatal only: after an OOM/stack overflow the JVM's timings are
+        // garbage — let fatal errors abort rather than emit poisoned numbers
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        -1.0
+      }
       name -> t
     }
 
@@ -87,58 +98,77 @@ object Bench {
     // corpus dir, so the headline is directly comparable to the scaling
     // legs.
     val nPages = 160000
-    val corpusDir = graft.tools.BenchCorpus.ensure(spark, nPages)
-    // fresh session for the headline: the query-loop session carries 59
-    // queries' worth of cached corpus, broadcasts and old-gen pressure,
-    // which measured 2.5x slower than ScalingBench's fresh sessions on
-    // the identical job — the headline should measure the kernel, not
-    // this process's accumulated heap state
-    spark.stop()
-    val spark2 = GraftSession.local(cpus)
-    def freshExtract(): Long = {
-      import spark2.implicits._
-      val pages = spark2.read.parquet(corpusDir).as[graft.model.Page]
-      graft.pipeline.ExtractKernel.extract(pages, graft.model.ConversionOptions())(spark2)
-        .where("status = 'completed'").count()
-    }
-    freshExtract() // warm
-    val extractRuns = scala.collection.mutable.ArrayBuffer(
-      (0 until 3).map(_ => timeWithSteal(freshExtract())): _*)
-    var extractExtra = 0
-    // storms here last minutes, not seconds: back off between retries so a
-    // sustained window doesn't contaminate every attempt of an unattended
-    // driver run (bounded: 6 retries x 20 s sleep)
-    while (!extractRuns.exists(clean) && extractExtra < 6) {
-      Thread.sleep(20000)
-      extractRuns += timeWithSteal(freshExtract())
-      extractExtra += 1
-    }
-    // headline_clean: whether the accepted measurement came from a
-    // steal-clean window. When false (sustained storm outlasted all 6
-    // backoff retries) the number is host noise, not engine speed — the
-    // best CLEAN historical 32-core measurement is carried alongside so a
-    // contaminated driver run is self-describing (VERDICT r2 #6). The
-    // constant is the accepted clean best from BENCH.md methodology
-    // (101,371 pages/s @ 32 cores, round-3 accepted 8→32 run, steal-1
-    // leg, both-legs-clean discipline); update it when a new clean best
-    // is recorded there.
-    val headlineClean = extractRuns.exists(clean)
+    // headline: wrapped so a failure here cannot discard the per-query
+    // timings already collected — the ONE JSON line always prints
+    val headline: Option[(Double, Boolean)] =
+      try {
+        val corpusDir = graft.tools.BenchCorpus.ensure(spark, nPages)
+        // fresh session for the headline: the query-loop session carries 70+
+        // queries' worth of cached corpus, broadcasts and old-gen pressure,
+        // which measured 2.5x slower than ScalingBench's fresh sessions on
+        // the identical job — the headline should measure the kernel, not
+        // this process's accumulated heap state
+        spark.stop()
+        val spark2 = GraftSession.local(cpus)
+        def freshExtract(): Long = {
+          import spark2.implicits._
+          val pages = spark2.read.parquet(corpusDir).as[graft.model.Page]
+          graft.pipeline.ExtractKernel.extract(pages, graft.model.ConversionOptions())(spark2)
+            .where("status = 'completed'").count()
+        }
+        freshExtract() // warm
+        val extractRuns = scala.collection.mutable.ArrayBuffer(
+          (0 until 3).map(_ => timeWithSteal(freshExtract())): _*)
+        var extractExtra = 0
+        // storms here last minutes, not seconds: back off between retries so
+        // a sustained window doesn't contaminate every attempt of an
+        // unattended driver run (bounded: 6 retries x 20 s sleep)
+        while (!extractRuns.exists(clean) && extractExtra < 6) {
+          Thread.sleep(20000)
+          extractRuns += timeWithSteal(freshExtract())
+          extractExtra += 1
+        }
+        spark2.stop()
+        // headline_clean: whether the accepted measurement came from a
+        // steal-clean window. When false (sustained storm outlasted all 6
+        // backoff retries) the number is host noise, not engine speed.
+        val hc = extractRuns.exists(clean)
+        Some(((if (hc) extractRuns.filter(clean) else extractRuns).map(_._1).min, hc))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] headline failed: ${e.getMessage}")
+        None
+      }
+    // the accepted clean best from BENCH.md methodology (101,371 pages/s @
+    // 32 cores, round-3 accepted 8→32 run, both-legs-clean discipline);
+    // update it when a new clean best is recorded there. headline_clean
+    // only certifies the steal counter was quiet — co-tenant MEMORY-
+    // BANDWIDTH contention doesn't tick steal and has measured 4-5x swings
+    // on this host; the explicit ratio vs the clean best makes a
+    // depressed-but-steal-quiet run self-describing.
     val cleanBestPrior = 101371.0
-    val extractSec =
-      (if (headlineClean) extractRuns.filter(clean) else extractRuns).map(_._1).min
-    val pagesPerSec = nPages / extractSec
-    // headline_clean only certifies the steal counter was quiet — co-tenant
-    // MEMORY-BANDWIDTH contention doesn't tick steal and has measured 4-5x
-    // swings on this host (BENCH.md methodology). The explicit ratio vs the
-    // recorded clean best makes a depressed-but-steal-quiet run
-    // self-describing without hiding the measured number.
-    val vsCleanBest = pagesPerSec / cleanBestPrior
+    val (extractSec, headlineClean) = headline.getOrElse((-1.0, false))
+    val pagesPerSec = if (extractSec > 0) nPages / extractSec else -1.0
+    val vsCleanBest = if (pagesPerSec > 0) pagesPerSec / cleanBestPrior else -1.0
     val stealDelta = stealTicks() - steal0
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Locale.ROOT formatting (the default-locale f"" interpolator would
+    // emit decimal COMMAS under e.g. de_DE and malform the JSON line) and
+    // escaped strings (a quote/backslash in sfDir must not break parsing)
+    def num(d: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
+    // failed queries (-1 sentinel) are EXCLUDED from the total (summing
+    // them deflates it) and surfaced as a count instead
+    val ok = results.map(_._2).filter(_ >= 0)
+    val total = ok.sum
+    val failed = results.size - ok.size
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s","extract_pages":$nPages%d,"extract_sec":$extractSec%.3f,"extract_pages_per_sec":$pagesPerSec%.1f,"headline_clean":$headlineClean%b,"clean_best_prior_pages_per_sec":$cleanBestPrior%.1f,"headline_vs_clean_best":$vsCleanBest%.3f,"cpus":$cpus%d,"host_steal_ticks":$stealDelta%d}""")
-    spark2.stop()
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":${esc(sfDir)},"extract_pages":$nPages,"extract_sec":${num(extractSec, 3)},"extract_pages_per_sec":${num(pagesPerSec, 1)},"headline_clean":$headlineClean,"clean_best_prior_pages_per_sec":${num(cleanBestPrior, 1)},"headline_vs_clean_best":${num(vsCleanBest, 3)},"cpus":$cpus,"host_steal_ticks":$stealDelta}""")
   }
 }

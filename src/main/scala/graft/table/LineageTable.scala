@@ -644,15 +644,8 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private[graft] def deleteRecursively(path: Path): Unit = {
-    if (Files.isDirectory(path)) // Using closes the stream: an open handle
-      // per directory leaks fds across a large GC walk and can block
-      // deleting the parent on some filesystems
-      scala.util.Using.resource(Files.list(path)) { s =>
-        s.iterator().asScala.toVector
-      }.foreach(deleteRecursively)
-    Files.deleteIfExists(path)
-  }
+  private[graft] def deleteRecursively(path: Path): Unit =
+    LineageTable.deleteRecursively(path)
 }
 
 object LineageTable {
@@ -681,6 +674,16 @@ object LineageTable {
       .withColumn("run_id", lit(runId))
       .withColumn("wave", lit(wave))
       .withColumn("committed_at", current_timestamp())
+  }
+
+  private[graft] def deleteRecursively(path: Path): Unit = {
+    if (Files.isDirectory(path)) // Using closes the stream: an open handle
+      // per directory leaks fds across a large GC walk and can block
+      // deleting the parent on some filesystems
+      scala.util.Using.resource(Files.list(path)) { s =>
+        s.iterator().asScala.toVector
+      }.foreach(deleteRecursively)
+    Files.deleteIfExists(path)
   }
 
   /** Deterministic bucket id for a url — stable across runs, reruns, and
