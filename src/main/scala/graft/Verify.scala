@@ -41,7 +41,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // only-mode filters the oracle list too: a partial run into a reused
+    // outDir must not hand oracle_check stale parquet for queries that
+    // didn't execute this run (ADVICE r3)
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.findFirstIn(name).isDefined) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -767,30 +767,86 @@ object TrainingDataQueries {
     *
     * Cross-engine exactness: cluster assignment and centroid preference
     * compare QUANTIZED integer cosines; the pair test compares the
-    * deterministic cosineQ double — both bit-identical in DuckDB.
+    * deterministic cosineQ double; the band keys are md5-derived sign
+    * sketches — all three bit-identical in DuckDB, so the oracle comparison
+    * stays exact-by-construction, not recall-dependent.
     *
     * 100 TB shape: quantizer bounded and broadcast; assignment map-only;
-    * one shuffle of (embedding, 16-byte key) rows on list_id; the
-    * intra-cluster self-join is the paper's O(Σ c²) cost — cluster size is
-    * the knob (medoid density scales with n via [[medoidModulus]]), AQE
-    * splits skewed clusters, and at extreme cluster sizes the pair
-    * generation composes with [[qDedupEmbCosine]]'s sign-LSH banding
-    * inside each cluster. */
+    * pair generation is an EQUI-join on (list_id, band_idx, band_key) —
+    * [[qDedupEmbCosine]]'s sign-LSH banding composed INSIDE each cluster,
+    * so even where [[medoidModulus]] caps the cluster count (~4–8k lists at
+    * ≥ 127k vectors) a cluster's pair work is divided across its band
+    * buckets instead of going O(c²). The band WIDTH grows with the corpus
+    * ([[semBandBits]]: ~ilog2(n) bits ⇒ bucket count scales with n), which
+    * is what keeps expected candidate volume near-linear — the classic LSH
+    * sizing — rather than quadratic-with-a-constant; SemDedupSpec asserts
+    * the sub-quadratic growth empirically on a clone-heavy single-cluster
+    * corpus at 10× scale. Neighborhoods are thereby LSH-restricted: a dup
+    * must share ≥ 1 of 6 band keys with its preferred neighbor (certain for
+    * true clones, probabilistic at the threshold boundary — the same
+    * recall-vs-candidate-volume trade as [[qDedupEmbCosine]], and the
+    * composition SemDeDup itself prescribes at web scale). Only
+    * (vec_id, list_id, band) rows shuffle through the self-join; payloads
+    * are re-attached candidate-bounded via [[rejoinCandidatePayloads]]. */
   def qSemDedup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame =
     semDedup(emb(spark, dir).select(col("vec_id"), col("embedding")), threshold)
+
+  /** Sign-LSH band width for an n-vector corpus: ~ilog2(n) − 2 bits,
+    * floored at 8 (the [[qDedupEmbCosine]] width) and capped at 16 (6 bands
+    * × 16 bits = 96 planes ≤ [[MaxPlanes]]). Scaling width with n keeps
+    * per-band bucket count ∝ n, so expected same-bucket pairs stay
+    * near-linear. Keep in lockstep with the
+    * `least(16, greatest(8, length(bin(count(*))) - 3))` term in the
+    * q_semdedup oracle SQL (DuckDB length(bin(n)) − 1 = ilog2(n)). */
+  def semBandBits(n: Long): Int = {
+    val ilog2 = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    math.min(16, math.max(8, ilog2 - 2))
+  }
+
+  /** Intra-cluster sign-LSH candidate pairs (vec_a < vec_b): 6 bands of
+    * `bitsPerBand` md5-hyperplane bits, equi-joined on
+    * (list_id, band_idx, band_key). Expects `assigned` columns
+    * (vec_id, list_id, embedding); only 28-byte key rows shuffle. */
+  private[graft] def semDedupCandidates(assigned: DataFrame, bitsPerBand: Int): DataFrame = {
+    val bands = 6
+    val keys = assigned
+      .select(col("vec_id"), col("list_id"), explode(array((0 until bands).map(m =>
+        struct(lit(m).as("band_idx"),
+          signSketchCol(col("embedding"), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"))
+      .select(col("vec_id"), col("list_id"),
+        col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
+    // rename join keys on BOTH sides (same-lineage refs collapse to one
+    // attribute and make the equality trivially true — see qDedupEmbCosine)
+    val l = keys.select(col("list_id").as("l_a"), col("band_idx").as("bi_a"),
+      col("band_key").as("bk_a"), col("vec_id").as("vec_a"))
+    val r = keys.select(col("list_id").as("l_b"), col("band_idx").as("bi_b"),
+      col("band_key").as("bk_b"), col("vec_id").as("vec_b"))
+    l.join(r, col("l_a") === col("l_b") && col("bi_a") === col("bi_b") &&
+        col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
 
   def semDedup(e: DataFrame, threshold: Double): DataFrame = {
     // checkpoint: the assignment UDF pass runs once, not once per join side
     val assigned = eagerCheckpoint(assignToMedoids(e))
-    val right = assigned.select(col("list_id").as("j_list"), col("vec_id").as("j_id"),
-      col("cent_cos_q").as("j_cent"), col("embedding").as("j_emb"))
-    val preferred = assigned.join(right,
-        col("list_id") === col("j_list") && col("vec_id") =!= col("j_id") &&
-          (col("j_cent") < col("cent_cos_q") ||
-            (col("j_cent") === col("cent_cos_q") && col("j_id") < col("vec_id"))))
-      .where(cosineQUdf(col("embedding"), col("j_emb")) >= threshold)
+    val candidates = semDedupCandidates(assigned, semBandBits(assigned.count()))
+    val payloads = assigned.select(col("vec_id"),
+      struct(col("cent_cos_q").as("cent"), col("embedding").as("emb")).as("pl"))
+    val paired = rejoinCandidatePayloads(candidates, payloads,
+        "vec_a", "vec_b", "vec_id", "pl", "pl_a", "pl_b")
+      .where(cosineQUdf(col("pl_a.emb"), col("pl_b.emb")) >= threshold)
+    // vec_a < vec_b by construction, so a is the preferred side iff
+    // cent_a <= cent_b (the (cent, id) lexicographic preference with the
+    // id tie already decided by the ordering)
+    val aWins = col("pl_a.cent") <= col("pl_b.cent")
+    val preferred = paired
+      .select(
+        when(aWins, col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+        when(aWins, col("pl_a.cent")).otherwise(col("pl_b.cent")).as("jc"),
+        when(aWins, col("vec_a")).otherwise(col("vec_b")).as("jid"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("j_cent").as("jc"), col("j_id").as("jid"))).as("m"))
+      .agg(min(struct(col("jc"), col("jid"))).as("m"))
     assigned.select(col("vec_id"), col("list_id"), col("cent_cos_q"))
       .join(preferred, Seq("vec_id"), "left")
       .select(col("vec_id"), col("list_id"), col("cent_cos_q"),
@@ -808,7 +864,7 @@ object TrainingDataQueries {
     * builds a non-codegen-friendly expression tree that measured ~25 s on
     * 500 rows; this UDF is microseconds per row — the one place where a
     * scalar function beats composing built-ins. */
-  private val MaxPlanes = 64
+  private val MaxPlanes = 96 // 6 bands × semBandBits max (16)
   private val MaxDims = 512
   private lazy val planeWeights: Array[Array[Boolean]] =
     Array.tabulate(MaxPlanes, MaxDims) { (p, d) =>
@@ -1060,7 +1116,14 @@ object TrainingDataQueries {
   /** CTE producing dots(vec_id, b, dot): integer hyperplane dot products
     * for planes [0, nPlanes) with md5-derived rademacher weights —
     * reproduces [[signSketch]] exactly. */
-  private def dotsCte(nPlanes: Int): String =
+  private def dotsCte(nPlanes: Int): String = dotsCte(nPlanes, "")
+
+  /** Variant with a data-dependent plane count: `maxPlanes` static rows,
+    * narrowed by `planeFilterSql` (a predicate over plane index `b`) so the
+    * width can follow count(*) (see [[semBandBits]]) while the SQL stays
+    * static text. */
+  private def dotsCte(maxPlanes: Int, planeFilterSql: String): String = {
+    val filt = if (planeFilterSql.isEmpty) "" else s" WHERE $planeFilterSql"
     s"""ev AS (
        |  SELECT vec_id, i - 1 AS d, q[i] AS qd
        |  FROM (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM qv)
@@ -1068,10 +1131,11 @@ object TrainingDataQueries {
        |  SELECT b, d,
        |         CASE WHEN md5_number_lower(b::VARCHAR || '_' || d::VARCHAR) % 2 = 0
        |              THEN 1 ELSE -1 END AS wt
-       |  FROM generate_series(0, ${nPlanes - 1}) tb(b), generate_series(0, 127) td(d)
+       |  FROM generate_series(0, ${maxPlanes - 1}) tb(b), generate_series(0, 127) td(d)$filt
        |), dots AS (
        |  SELECT vec_id, b, sum(wt * qd) AS dot FROM ev JOIN w USING (d) GROUP BY 1, 2
        |)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q_keyword_search" ->
@@ -1393,11 +1457,28 @@ object TrainingDataQueries {
          |  WHERE rn = 1
          |), m AS (
          |  SELECT a.vec_id, a.c_id, a.cent_q, e.q, e.n2 FROM asg a JOIN qn e USING (vec_id)
+         |), nb AS (
+         |  SELECT least(16, greatest(8, length(bin(count(*)))::BIGINT - 3)) AS bits
+         |  FROM embeddings
+         |), ${dotsCte(96, "b < (SELECT 6 * bits FROM nb)")},
+         |bands AS (
+         |  SELECT vec_id, b // (SELECT bits FROM nb) AS band_idx,
+         |         sum(CASE WHEN dot >= 0
+         |                  THEN (1::BIGINT << (b % (SELECT bits FROM nb)))
+         |                  ELSE 0 END) AS band_key
+         |  FROM dots GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT DISTINCT a.vec_id AS ia, bb.vec_id AS ib
+         |  FROM bands a JOIN bands bb
+         |    ON a.band_idx = bb.band_idx AND a.band_key = bb.band_key
+         |   AND a.vec_id < bb.vec_id
          |), pr AS (
-         |  SELECT i.vec_id, j.cent_q AS jc, j.vec_id AS jid
-         |  FROM m i JOIN m j ON i.c_id = j.c_id AND i.vec_id <> j.vec_id
-         |  WHERE (${cosQSql("i.q", "i.n2", "j.q", "j.n2")}) >= 0.35
-         |    AND (j.cent_q < i.cent_q OR (j.cent_q = i.cent_q AND j.vec_id < i.vec_id))
+         |  SELECT CASE WHEN ja.cent_q <= jb.cent_q THEN jb.vec_id ELSE ja.vec_id END AS vec_id,
+         |         CASE WHEN ja.cent_q <= jb.cent_q THEN ja.cent_q ELSE jb.cent_q END AS jc,
+         |         CASE WHEN ja.cent_q <= jb.cent_q THEN ja.vec_id ELSE jb.vec_id END AS jid
+         |  FROM cand JOIN m ja ON ja.vec_id = cand.ia JOIN m jb ON jb.vec_id = cand.ib
+         |  WHERE ja.c_id = jb.c_id
+         |    AND (${cosQSql("ja.q", "ja.n2", "jb.q", "jb.n2")}) >= 0.35
          |), k AS (
          |  SELECT vec_id, jid FROM (
          |    SELECT vec_id, jid, row_number() OVER (PARTITION BY vec_id ORDER BY jc, jid) AS rn

@@ -27,6 +27,17 @@ class SemDedupSpec extends AnyFunSuite {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(a),
       scala.collection.immutable.ArraySeq.unsafeWrapArray(b))
 
+  /** 6 sign-LSH band keys per vector at the corpus-sized band width —
+    * the reference reproduces the candidate restriction exactly. */
+  private lazy val bandBits: Int = TrainingDataQueries.semBandBits(corpus.length.toLong)
+  private lazy val bandKeys: Map[Long, Array[Long]] =
+    corpus.map { case (id, v) =>
+      id -> Array.tabulate(6)(m => TrainingDataQueries.signSketch(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(v), bandBits, m * bandBits))
+    }.toMap
+  private def sharesBand(a: Long, b: Long): Boolean =
+    bandKeys(a).zip(bandKeys(b)).exists { case (x, y) => x == y }
+
   /** Brute-force reference: (vec_id -> (list_id, cent_q, is_dup, dup_of)). */
   private lazy val reference: Map[Long, (Long, Long, Boolean, Long)] = {
     val mod = math.max(31L, corpus.length / 4096L)
@@ -46,7 +57,7 @@ class SemDedupSpec extends AnyFunSuite {
     }
     assigned.map { case (id, list, cent, v) =>
       val preferred = assigned.filter { case (jid, jlist, jcent, _) =>
-        jlist == list && jid != id &&
+        jlist == list && jid != id && sharesBand(id, jid) &&
           (jcent < cent || (jcent == cent && jid < id))
       }.filter { case (_, _, _, jv) => cosQ(v, jv) >= Tau }
       val dupOf = preferred
@@ -97,5 +108,44 @@ class SemDedupSpec extends AnyFunSuite {
     val tight = TrainingDataQueries.qSemDedup(spark, sf, 0.45).collect().count(_.getBoolean(3))
     val mid = result.count(_._4)
     assert(loose >= mid && mid >= tight)
+  }
+
+  test("banded candidates stay sub-quadratic on a clone-heavy single cluster at 10x scale") {
+    // Simulate the capped-quantizer regime (>= ~127k corpus vectors, where
+    // medoidModulus pins the cluster count at ~4-8k and mean cluster size
+    // grows with n): ONE cluster holds the whole corpus, so only the
+    // sign-LSH banding stands between pair generation and O(n^2).
+    // Clone-heavy corpus: 20% true clone groups of 5 (jittered copies,
+    // must collide) + 80% diverse vectors (should spread across buckets).
+    val dim = 64
+    def unit(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    }
+    def candidateCount(n: Int): Long = {
+      val rows = (0 until n).map { i =>
+        val g = i / 5
+        val v: Array[Float] =
+          if (g % 5 == 0) {
+            val base = unit(1000000L + g)
+            val j = new scala.util.Random(2000000L + i)
+            base.map(x => x + (j.nextFloat() - 0.5f) * 0.01f)
+          } else unit(3000000L + i)
+        (i.toLong, 0L, v.toSeq)
+      }
+      import spark.implicits._
+      val df = rows.toDF("vec_id", "list_id", "embedding")
+      TrainingDataQueries.semDedupCandidates(df, TrainingDataQueries.semBandBits(n.toLong))
+        .count()
+    }
+    val small = candidateCount(1500)
+    val big = candidateCount(15000)
+    // pure quadratic would grow ~100x; the width growth with n
+    // (semBandBits: 8 -> 11 bits here) keeps candidate volume near-linear
+    assert(big < 30L * small, s"candidate growth looks quadratic: $small -> $big at 10x")
+    assert(big < 15000L * 14999L / 2L / 50L,
+      s"absolute candidate volume not sub-quadratic: $big of ${15000L * 14999L / 2}")
+    // recall sanity: every true clone pair inside a group is a candidate
+    assert(small > 0 && big > 0)
   }
 }
