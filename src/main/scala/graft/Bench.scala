@@ -60,13 +60,21 @@ object Bench {
       val sec = timeOnce(f)
       (sec, stealTicks() - s0)
     }
-    def clean(m: (Double, Long)): Boolean = m._2 <= math.max(60L, (100.0 * m._1).toLong)
+    // window-scaled steal tolerance (~1 stolen core average; 100 USER_HZ
+    // ticks/core-sec) with a floor for /proc/stat tick granularity. The
+    // floor is 20 ticks, not the old 60: for sub-0.5 s windows 60 ticks let
+    // several stolen core-seconds pass as "clean" (VERDICT r3 #4).
+    def clean(m: (Double, Long)): Boolean = m._2 <= math.max(20L, (100.0 * m._1).toLong)
 
     // Per-query: best of 2, plus up to 2 retries when BOTH runs were
     // steal-contaminated; a global retry budget bounds the worst case of a
-    // sustained storm (the driver runs this unattended).
+    // sustained storm (the driver runs this unattended). Each query reports
+    // (best sec, clean flag): clean=false marks the number as taken from
+    // storm-contaminated windows only — machine-readably noise, not a
+    // regression (VERDICT r3 #2).
     var retryBudget = 64
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results: Seq[(String, (Double, Boolean))] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t = try {
         val runs = scala.collection.mutable.ArrayBuffer(
           timeWithSteal(fn(spark, sfDir).count()),
@@ -77,13 +85,14 @@ object Bench {
           extra += 1
           retryBudget -= 1
         }
-        val usable = if (runs.exists(clean)) runs.filter(clean) else runs
-        usable.map(_._1).min
+        val anyClean = runs.exists(clean)
+        val usable = if (anyClean) runs.filter(clean) else runs
+        (usable.map(_._1).min, anyClean)
         // NonFatal only: after an OOM/stack overflow the JVM's timings are
         // garbage — let fatal errors abort rather than emit poisoned numbers
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, false)
       }
       name -> t
     }
@@ -138,14 +147,24 @@ object Bench {
         System.err.println(s"[bench] headline failed: ${e.getMessage}")
         None
       }
-    // the accepted clean best from BENCH.md methodology (101,371 pages/s @
-    // 32 cores, round-3 accepted 8→32 run, both-legs-clean discipline);
-    // update it when a new clean best is recorded there. headline_clean
-    // only certifies the steal counter was quiet — co-tenant MEMORY-
-    // BANDWIDTH contention doesn't tick steal and has measured 4-5x swings
-    // on this host; the explicit ratio vs the clean best makes a
-    // depressed-but-steal-quiet run self-describing.
-    val cleanBestPrior = 101371.0
+    // the accepted clean best from BENCH.md methodology, read from the
+    // committed baseline resource (bench-clean-best.txt — updated together
+    // with BENCH.md's accepted-bests table, so a stale hardcoded constant
+    // can't mis-describe a future clean run; VERDICT r3 #4), with an env
+    // escape hatch for ad-hoc comparisons. headline_clean only certifies
+    // the steal counter was quiet — co-tenant MEMORY-BANDWIDTH contention
+    // doesn't tick steal and has measured 4-5x swings on this host; the
+    // explicit ratio vs the clean best makes a depressed-but-steal-quiet
+    // run self-describing.
+    val cleanBestPrior: Double =
+      sys.env.get("SPARK_GRAFT_CLEAN_BEST").map(_.toDouble).getOrElse {
+        val in = getClass.getResourceAsStream("/graft/bench-clean-best.txt")
+        // explicit charset: the driver may fork the JVM under a POSIX
+        // locale whose default (ASCII) decoder rejects any non-ASCII byte
+        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
+          .map(_.trim).find(l => l.nonEmpty && !l.startsWith("#")).get.toDouble
+        finally in.close()
+      }
     val (extractSec, headlineClean) = headline.getOrElse((-1.0, false))
     val pagesPerSec = if (extractSec > 0) nPages / extractSec else -1.0
     val vsCleanBest = if (pagesPerSec > 0) pagesPerSec / cleanBestPrior else -1.0
@@ -162,13 +181,16 @@ object Bench {
       case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (v, _)) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
+    // per-query storm self-description: false = every window for that query
+    // was steal-contaminated, so its number is host noise, not engine speed
+    val qc = results.map { case (k, (_, c)) => esc(k) + ":" + c }.mkString("{", ",", "}")
     // failed queries (-1 sentinel) are EXCLUDED from the total (summing
     // them deflates it) and surfaced as a count instead
-    val ok = results.map(_._2).filter(_ >= 0)
+    val ok = results.map(_._2._1).filter(_ >= 0)
     val total = ok.sum
     val failed = results.size - ok.size
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"queries_failed":$failed,"sf":${esc(sfDir)},"extract_pages":$nPages,"extract_sec":${num(extractSec, 3)},"extract_pages_per_sec":${num(pagesPerSec, 1)},"headline_clean":$headlineClean,"clean_best_prior_pages_per_sec":${num(cleanBestPrior, 1)},"headline_vs_clean_best":${num(vsCleanBest, 3)},"cpus":$cpus,"host_steal_ticks":$stealDelta}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"queries_clean":$qc,"queries_failed":$failed,"sf":${esc(sfDir)},"extract_pages":$nPages,"extract_sec":${num(extractSec, 3)},"extract_pages_per_sec":${num(pagesPerSec, 1)},"headline_clean":$headlineClean,"clean_best_prior_pages_per_sec":${num(cleanBestPrior, 1)},"headline_vs_clean_best":${num(vsCleanBest, 3)},"cpus":$cpus,"host_steal_ticks":$stealDelta}""")
   }
 }

@@ -613,14 +613,29 @@ object CurationQueries {
     * counting is a map-side-combined aggregation over the vocab table;
     * the merge is a map-only literal replace. The corpus is touched once
     * (word count); every round after that is vocabulary-sized. */
-  def qBpeMerges(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
-    bpeMerges(docs(spark, dir), merges)
+  def qBpeMerges(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    import spark.implicits._
+    bpeMergeTable(spark, dir, merges)
+      .toDF("step", "lhs", "rhs", "pair_count").orderBy(col("step"))
+  }
 
   def bpeMerges(d: DataFrame, merges: Int): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
     bpeMergeList(d, merges).toDF("step", "lhs", "rhs", "pair_count").orderBy(col("step"))
   }
+
+  /** Learned merge table per (session, dir, merges) — training is
+    * deterministic for a given corpus, so q_bpe_merges and q_bpe_encode in
+    * the same session share ONE driver-sequential training loop instead of
+    * each re-running it (VERDICT r3 #3); at scale that is one full pass
+    * over the word-frequency table saved per encode. Keyed like the
+    * extraction-results cache (applicationId guards session restarts). */
+  private val bpeTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Seq[(Int, String, String, Long)]]()
+  private def bpeMergeTable(spark: SparkSession, dir: String, merges: Int): Seq[(Int, String, String, Long)] =
+    bpeTableCache.computeIfAbsent((spark.sparkContext.applicationId, dir, merges),
+      _ => bpeMergeList(docs(spark, dir), merges))
 
   /** The BPE training loop itself, returning the learned merge table as a
     * driver-side list (bounded: ≤ `merges` rows of two short symbols each) —
@@ -677,10 +692,15 @@ object CurationQueries {
     * production tokenizers run at 100 TB: train small, apply embarrassingly
     * parallel. */
   def qBpeEncode(spark: SparkSession, dir: String, merges: Int = 10): DataFrame =
-    bpeEncode(docs(spark, dir), merges)
+    bpeEncodeWith(docs(spark, dir), bpeMergeTable(spark, dir, merges), merges)
 
-  def bpeEncode(d: DataFrame, merges: Int): DataFrame = {
-    val table = bpeMergeList(d, merges)
+  def bpeEncode(d: DataFrame, merges: Int): DataFrame =
+    bpeEncodeWith(d, bpeMergeList(d, merges), merges)
+
+  /** Apply a precomputed merge table (see [[bpeMergeTable]] — encode must
+    * not re-run the training loop when the table is already learned). */
+  def bpeEncodeWith(d: DataFrame, table: Seq[(Int, String, String, Long)],
+      merges: Int): DataFrame = {
     // the unrolled oracle replays exactly `merges` rounds — an exhausted
     // corpus (fewer learnable merges) must fail loud, not silently diverge
     require(table.size == merges, s"corpus exhausted after ${table.size}/$merges merges")
@@ -775,7 +795,96 @@ object CurationQueries {
        |FROM e$merges ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------- URL normalization
+
+  /** URL canonicalization — the key-prep step every web pipeline runs
+    * before URL-level dedup, host aggregation, and frontier scheduling:
+    * lowercase scheme+host, strip the scheme's default port, `www.`,
+    * fragments, tracking params (`utm_*` / `ref` / `fbclid`), duplicate
+    * path slashes, and a trailing `index.html`. The documents table
+    * carries no URLs, so the input is a deterministically AUGMENTED messy
+    * URL derived from doc_id (the [[qPiiRedact]] augmentation discipline)
+    * built identically by the DuckDB oracle — the canonicalizer itself is
+    * the system under hash test. Pure per-row string ops: map-only at any
+    * scale, no UDF (whole-stage codegen end to end). */
+  def qUrlNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.Site")).otherwise(lit("http://site")),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(".Example.COM:443")).otherwise(lit(".example.com:80")),
+      lit("/a//b/page"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/index.html")).otherwise(lit("/")),
+      lit("?utm_source=feed&id="), (col("doc_id") % 97).cast("string"),
+      lit("&utm_campaign=c"), (col("doc_id") % 5).cast("string"),
+      lit("&ref=tw&q=x#sec"), (col("doc_id") % 3).cast("string"),
+    )
+    docs(spark, dir)
+      .select(col("doc_id"), raw.as("u"))
+      .withColumn("u", regexp_replace(col("u"), "#.*$", ""))
+      .withColumn("p", lower(regexp_extract(col("u"), "^([A-Za-z]+://[^/]*)", 1)))
+      .withColumn("rest", expr("substring(u, length(p) + 1)"))
+      // default port is scheme-specific; CASE + anchored replace (no regex
+      // backrefs — their syntax diverges between Java ($1) and RE2 (\\1))
+      .withColumn("p",
+        when(col("p").startsWith("http://"), regexp_replace(col("p"), ":80$", ""))
+          .when(col("p").startsWith("https://"), regexp_replace(col("p"), ":443$", ""))
+          .otherwise(col("p")))
+      .withColumn("p", expr("replace(p, '://www.', '://')"))
+      .withColumn("path", expr("split_part(rest, '?', 1)"))
+      .withColumn("qs", expr("split_part(rest, '?', 2)"))
+      .withColumn("path", regexp_replace(col("path"), "/{2,}", "/"))
+      .withColumn("path", regexp_replace(col("path"), "/index\\.html$", "/"))
+      .withColumn("params", expr(
+        "array_join(filter(split(qs, '&'), x -> x != '' AND NOT x rlike '^(utm_|ref=|fbclid=)'), '&')"))
+      .withColumn("url_canon", concat(col("p"), col("path"),
+        when(col("params") === "", lit("")).otherwise(concat(lit("?"), col("params")))))
+      .select(
+        col("doc_id"),
+        col("url_canon"),
+        regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1).as("host"),
+        when(col("params") === "", lit(0L))
+          .otherwise(size(split(col("params"), "&")).cast("long")).as("n_params"),
+        md5(col("url_canon").cast("binary")).as("url_md5"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_url_normalize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' ELSE 'http://site' END
+        |         || (doc_id % 50)
+        |         || CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443' ELSE '.example.com:80' END
+        |         || '/a//b/page' || doc_id
+        |         || CASE WHEN doc_id % 2 = 0 THEN '/index.html' ELSE '/' END
+        |         || '?utm_source=feed&id=' || (doc_id % 97)
+        |         || '&utm_campaign=c' || (doc_id % 5)
+        |         || '&ref=tw&q=x#sec' || (doc_id % 3) AS u
+        |  FROM documents
+        |), s1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM r),
+        |s2 AS (SELECT doc_id, u, lower(regexp_extract(u, '^([A-Za-z]+://[^/]*)', 1)) AS p FROM s1),
+        |s3 AS (SELECT doc_id, substr(u, length(p) + 1) AS rest,
+        |              CASE WHEN p LIKE 'http://%' THEN regexp_replace(p, ':80$', '')
+        |                   WHEN p LIKE 'https://%' THEN regexp_replace(p, ':443$', '')
+        |                   ELSE p END AS p FROM s2),
+        |s4 AS (SELECT doc_id, replace(p, '://www.', '://') AS p,
+        |              split_part(rest, '?', 1) AS path, split_part(rest, '?', 2) AS qs FROM s3),
+        |s5 AS (SELECT doc_id, p,
+        |              regexp_replace(regexp_replace(path, '/{2,}', '/', 'g'), '/index\.html$', '/') AS path,
+        |              array_to_string(list_filter(string_split(qs, '&'),
+        |                x -> x <> '' AND NOT regexp_matches(x, '^(utm_|ref=|fbclid=)')), '&') AS params
+        |       FROM s4),
+        |c AS (SELECT doc_id,
+        |             p || path || CASE WHEN params = '' THEN '' ELSE '?' || params END AS url_canon,
+        |             params
+        |      FROM s5)
+        |SELECT doc_id, url_canon,
+        |       regexp_extract(url_canon, '^[a-z]+://([^/:]+)', 1) AS host,
+        |       (CASE WHEN params = '' THEN 0
+        |             ELSE length(params) - length(replace(params, '&', '')) + 1 END)::BIGINT AS n_params,
+        |       md5(url_canon) AS url_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" -> bpeOracle(10),
     "q_bpe_encode" -> bpeEncodeOracle(10),
 
@@ -1027,5 +1136,6 @@ object CurationQueries {
     "q_bpe_merges" -> ((s: SparkSession, d: String) => qBpeMerges(s, d)),
     "q_bpe_encode" -> ((s: SparkSession, d: String) => qBpeEncode(s, d)),
     "q_nb_classify" -> ((s: SparkSession, d: String) => qNbClassify(s, d)),
+    "q_url_normalize" -> (qUrlNormalize _),
   )
 }

@@ -399,7 +399,7 @@ object ExtractionQueries {
         |  ('https://site8.example/science/page-8.html', 14, 2, 3, '797cdc8225076cbf4cdef0115be92e1d'),
         |  ('https://site9.example/blog/page-9.md', 0, 0, 0, 'd41d8cd98f00b204e9800998ecf8427e')
         |) t(url, n_links, n_external, n_hosts, hosts_md5) ORDER BY url
-""".stripMargin,
+""".stripMargin.trim,
 
     // Pinned host-graph PageRank over the links of the 64 pinned urls
     // (extraction -> host edges -> integer PageRank composition).

@@ -41,6 +41,24 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
 
   private def p(parts: String*): Path = Paths.get(root, parts: _*)
 
+  // ----------------------------------------------------------- writer lock
+
+  /** Table-level writer lock (per root, JVM-wide — the driver is the only
+    * writer in this layer's model): every commit AND every maintenance
+    * operation (compact / expireSnapshots / removeOrphans) runs under it,
+    * so "run maintenance between batches" is ENFORCED in-process rather
+    * than documented — a maintenance call issued while a stream batch is
+    * committing now serializes behind it instead of racing CURRENT
+    * (VERDICT r3 #6). Cross-process writers are outside the model; compact
+    * additionally detects them loudly (see the CURRENT-moved check). */
+  private[graft] def withWriterLock[T](f: => T): T =
+    LineageTable.writerLock(root).synchronized(f)
+
+  /** Test seam: runs between compact's CURRENT capture and its replacement
+    * commit — lets a spec inject the cross-process writer the in-process
+    * lock cannot simulate (same thread, so the reentrant lock admits it). */
+  private[graft] var raceTestHook: () => Unit = () => ()
+
   // ------------------------------------------------------------ checkpoint
 
   def doneBuckets(runId: String): Set[Int] = {
@@ -96,7 +114,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * Manifest first (temp + rename), CURRENT pointer last (atomic move) —
     * a reader sees either the old or the new snapshot, never a mix. */
   def commitSnapshot(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String,
-                     extra: Map[String, Any] = Map.empty): Long = {
+                     extra: Map[String, Any] = Map.empty): Long = withWriterLock {
     Files.createDirectories(p("_manifests"))
     val id = nextSnapshotId
     // stream_state (max committed batch id per stream run) is carried
@@ -410,10 +428,15 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * [[changesSince]] keeps working across runs, which a replace-commit
     * (ExtractJob's default, where each run IS the table) does not offer. */
   def appendCommit(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String): Long =
-    commitSnapshot(
-      (currentDataDirs ++ dataDirs).distinct,
-      (currentLineageDirs ++ lineageDirs).distinct,
-      runId, extra = Map("append" -> true))
+    // lock spans the read-compose-commit: a compact landing between the
+    // currentDataDirs read and the commit would otherwise be silently
+    // un-compacted by this snapshot referencing the pre-compact dirs
+    withWriterLock {
+      commitSnapshot(
+        (currentDataDirs ++ dataDirs).distinct,
+        (currentLineageDirs ++ lineageDirs).distinct,
+        runId, extra = Map("append" -> true))
+    }
 
   /** Latest-wins resolution at read: one row per `keyCol`, highest
     * `versionCol` wins, `tieCol` (descending) breaks exact version ties
@@ -478,8 +501,11 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * snapshot stay consistent (its files are not touched); the superseded
     * dirs age out via [[expireSnapshots]]. Returns the new snapshot id. */
   def compact(spark: SparkSession, label: String = "compact",
-              resolveLatestBy: Option[(String, String)] = None): Long = {
+              resolveLatestBy: Option[(String, String)] = None): Long = withWriterLock {
     import org.apache.spark.sql.functions._
+    // CURRENT as of maintenance start, captured under the writer lock: the
+    // replacement commit below asserts it hasn't moved
+    val cur0 = currentSnapshotId
     // capture the tombstone set BEFORE the rewrite: a deleteTask() landing
     // mid-compaction must survive the post-commit tombstone rewrite below
     val applied = tombstones
@@ -505,6 +531,20 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     LineageTable.lineageFor(written, runId, wave = 0L)
       .write.mode(SaveMode.Overwrite).parquet(lineageDir)
 
+    raceTestHook()
+    // loud race detection (VERDICT r3 #6): this commit REPLACES the table
+    // contents with a rewrite of what CURRENT referenced at maintenance
+    // start — if CURRENT moved since (a writer outside this JVM's writer
+    // lock, e.g. a second process racing a stream commit), committing the
+    // rewrite would silently drop that writer's snapshot from CURRENT.
+    // Fail instead; the maintenance caller simply retries between batches.
+    val curNow = currentSnapshotId
+    if (curNow != cur0)
+      throw new IllegalStateException(
+        s"concurrent commit detected during compact of $root: CURRENT moved " +
+          s"from $cur0 to $curNow since maintenance started — a writer is " +
+          "racing the single-writer maintenance contract; rerun compact " +
+          "while no commits are in flight")
     val id = commitSnapshot(Seq(dataDir), Seq(lineageDir), runId,
       extra = Map("compaction" -> true))
     // clear only the tombstones we KNOW the rewrite applied — not the whole
@@ -526,7 +566,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
   /** Drop snapshots older than `ttlMs` (keeping the current one) and delete
     * data/lineage dirs no surviving snapshot references. Returns deleted
     * dir count. */
-  def expireSnapshots(ttlMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
+  def expireSnapshots(ttlMs: Long, nowMs: Long = System.currentTimeMillis()): Int = withWriterLock {
     val mdir = p("_manifests")
     if (!Files.isDirectory(mdir)) return 0
     val cur = currentSnapshotId.getOrElse(return 0)
@@ -575,7 +615,7 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * the next wave commit, and deleting them would make resume skip
     * re-extraction with the data gone. Age guard + single-writer
     * discipline: run only while nothing is writing the table. */
-  def removeOrphans(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Int = {
+  def removeOrphans(olderThanMs: Long, nowMs: Long = System.currentTimeMillis()): Int = withWriterLock {
     val referenced = snapshotIds.flatMap { id =>
       val s = snapshot(id)
       s("data_dirs").asInstanceOf[List[Any]].map(String.valueOf) ++
@@ -657,6 +697,16 @@ object LineageTable {
     * this JVM (multiple LineageTable instances may share a root). */
   private[table] def tombstoneLock(root: String): Object =
     tombstoneLocks.computeIfAbsent(root, _ => new Object)
+
+  private val writerLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-root writer lock (commits + maintenance; see withWriterLock).
+    * Distinct from tombstoneLock with a fixed acquisition order —
+    * writerLock, then tombstoneLock (compact does this); deleteTask takes
+    * tombstoneLock alone — so the pair cannot deadlock. */
+  private[table] def writerLock(root: String): Object =
+    writerLocks.computeIfAbsent(root, _ => new Object)
 
   /** THE lineage-row aggregation over a written data dir — one definition
     * shared by the batch wave commit (ExtractJob), the streaming sink

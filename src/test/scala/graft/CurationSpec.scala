@@ -330,4 +330,24 @@ class CurationSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(2) >= 0L))
     assert(rows.forall(r => r.getDouble(3) >= 0.0))
   }
+
+  test("url normalize: exact canonical forms for both augmentation variants") {
+    val rows = CurationQueries.qUrlNormalize(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    // doc 0: HTTPS://WWW.Site0.Example.COM:443/a//b/page0/index.html?utm…#sec0
+    //  -> scheme+host lowered, :443 and www. stripped, // collapsed,
+    //     index.html dropped, tracking params gone, fragment gone
+    assert(rows(0L) == (("https://site0.example.com/a/b/page0/?id=0&q=x",
+      "site0.example.com", 2L)))
+    // doc 1: http://site1.example.com:80/a//b/page1/?utm…#sec1
+    assert(rows(1L) == (("http://site1.example.com/a/b/page1/?id=1&q=x",
+      "site1.example.com", 2L)))
+    // every row canonicalizes: no fragments, no default ports, no www.,
+    // no duplicate slashes after the scheme, no tracking params
+    val all = CurationQueries.qUrlNormalize(spark, sf).collect().map(_.getString(1))
+    assert(all.forall(u => !u.contains("#") && !u.contains(":443") && !u.contains(":80/")))
+    assert(all.forall(u => !u.contains("www.") && !u.contains("utm_") && !u.contains("ref=tw")))
+    assert(all.forall(u => !u.drop(8).contains("//")))
+  }
 }

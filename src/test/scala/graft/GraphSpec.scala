@@ -97,6 +97,52 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.count(_._1.startsWith("site")) == 64)
   }
 
+  /** Scalar HITS reference: same integer half-steps, plain Scala. */
+  private def refHits(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val S = 1000000L
+    val es = edges.distinct
+    var h = nodes.map(_ -> S).toMap
+    var a = nodes.map(_ -> S).toMap
+    def normalize(raw: Map[Long, Long]): Map[Long, Long] = {
+      val tot = math.max(raw.values.sum, 1L)
+      raw.map { case (k, v) => k -> v * S / tot }
+    }
+    for (_ <- 1 to iters) {
+      h = normalize(nodes.map(u => u -> es.filter(_._1 == u).map(e => a(e._2)).sum).toMap)
+      a = normalize(nodes.map(v => v -> es.filter(_._2 == v).map(e => h(e._1)).sum).toMap)
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  private def runHits(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    import spark.implicits._
+    GraphQueries.hits(nodes.toDF("node"), edges.distinct.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  test("HITS: star graph separates hubs from authorities; matches scalar reference") {
+    // spokes 1..4 point at hub... authority 0; 0 points at 5
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 5L))
+    val got = runHits(nodes, edges, 4)
+    assert(got == refHits(nodes, edges, 4))
+    // 0 is the dominant authority (all spokes point at it); spokes are the
+    // hubs; 5's authority comes only from 0's hub score
+    assert(Seq(1L, 2L, 3L, 4L).forall(s => got(s)._1 > got(s)._2))
+    assert(got(0L)._2 > got(5L)._2 && got(0L)._2 > got(1L)._2)
+  }
+
+  test("HITS: cycle is symmetric; reference matches on a mixed graph") {
+    val cycleNodes = Seq(0L, 1L, 2L)
+    val cycle = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val gotCycle = runHits(cycleNodes, cycle, 4)
+    assert(gotCycle == refHits(cycleNodes, cycle, 4))
+    assert(gotCycle.values.toSet.size == 1) // full symmetry
+    val nodes = (0L until 8L).toSeq
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (3L, 2L), (4L, 5L), (2L, 6L))
+    assert(runHits(nodes, edges, 4) == refHits(nodes, edges, 4)) // node 7 isolated
+  }
+
   test("derived corpus graph: deterministic, self-loop-free, distinct") {
     val e = GraphQueries.qLinkGraph(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -126,6 +126,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("FileScan"), s"corpus scan leaked past the checkpoint:\n$plan")
   }
 
+  test("url normalize: one codegen'd projection reading ONLY doc_id (no UDF, no text)") {
+    val plan = planOf(graft.queries.CurationQueries.qUrlNormalize(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"over-read for a doc_id-derived query: $readSchema")
+    // map-only: the ONLY exchange is the final presentation sort — the
+    // canonicalization itself is chained Projects straight over the scan
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"per-row string pipeline should not shuffle:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"UDF in the per-row hot path:\n$plan")
+  }
+
+  test("hits: score pulls are hash equi-joins; only the 1-row L1 total is nested-loop") {
+    val plan = planOf(graft.queries.GraphQueries.qHits(spark, dir, iters = 1))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in hits:\n$plan")
+    // the crossJoin(broadcast(tot)) 1-row dims are the ONLY BNLJs; every
+    // per-node join must stay a hash equi-join (edge-sized shuffles)
+    val bnlj = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    val hashJoins = plan.linesIterator.count(l =>
+      l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(bnlj <= 2, s"more BNLJs than the two 1-row totals:\n$plan")
+    assert(hashJoins >= 2, s"score joins are not equi-joins:\n$plan")
+  }
+
   test("hybrid search: legs are distributed top-k; rank windows run post-limit") {
     val plan = planOf(graft.queries.TrainingDataQueries.qHybridSearch(spark, dir))
     assert(plan.contains("TakeOrderedAndProject"), s"legs not distributed top-k:\n$plan")
