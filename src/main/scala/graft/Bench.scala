@@ -20,11 +20,7 @@ import graft.pipeline.GraftSession
   */
 object Bench {
 
-  private def stealTicks(): Long =
-    try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
-    } catch { case _: Throwable => 0L }
+  private def stealTicks(): Long = graft.core.Steal.stealTicks()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,24 +43,12 @@ object Bench {
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
 
-    def timeOnce(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    /** (wall sec, steal ticks seen during it). A window that saw > ~1
-      * stolen core on average is contamination, not our runtime. */
-    def timeWithSteal(f: => Unit): (Double, Long) = {
-      val s0 = stealTicks()
-      val sec = timeOnce(f)
-      (sec, stealTicks() - s0)
-    }
-    // window-scaled steal tolerance (~1 stolen core average; 100 USER_HZ
-    // ticks/core-sec) with a floor for /proc/stat tick granularity. The
-    // floor is 20 ticks, not the old 60: for sub-0.5 s windows 60 ticks let
-    // several stolen core-seconds pass as "clean" (VERDICT r3 #4).
-    def clean(m: (Double, Long)): Boolean = m._2 <= math.max(20L, (100.0 * m._1).toLong)
+    // shared steal-aware timing predicate (graft.core.Steal): one "clean
+    // window" definition across Bench/ScalingBench/QueryTime (VERDICT r3 #4
+    // tightened the floor 60 -> 20 ticks; the shared object keeps the
+    // tools from forking it again)
+    def timeWithSteal(f: => Unit): (Double, Long) = graft.core.Steal.timeWithSteal(f)
+    def clean(m: (Double, Long)): Boolean = graft.core.Steal.clean(m)
 
     // Per-query: best of 2, plus up to 2 retries when BOTH runs were
     // steal-contaminated; a global retry budget bounds the worst case of a
@@ -156,18 +140,33 @@ object Bench {
     // doesn't tick steal and has measured 4-5x swings on this host; the
     // explicit ratio vs the clean best makes a depressed-but-steal-quiet
     // run self-describing.
-    val cleanBestPrior: Double =
-      sys.env.get("SPARK_GRAFT_CLEAN_BEST").map(_.toDouble).getOrElse {
-        val in = getClass.getResourceAsStream("/graft/bench-clean-best.txt")
-        // explicit charset: the driver may fork the JVM under a POSIX
-        // locale whose default (ASCII) decoder rejects any non-ASCII byte
-        try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
-          .map(_.trim).find(l => l.nonEmpty && !l.startsWith("#")).get.toDouble
-        finally in.close()
-      }
+    // TOTAL by construction — this runs AFTER the whole bench, and the
+    // one-JSON-line driver contract must survive a malformed env value, a
+    // missing/comment-only resource, or a zero entry (ratio -> -1 sentinel
+    // instead of a crash or an "Infinity" that breaks JSON parsing)
+    val cleanBestPrior: Double = {
+      def warn(what: String): Option[Double] = { System.err.println(s"[bench] $what"); None }
+      val fromEnv = sys.env.get("SPARK_GRAFT_CLEAN_BEST").flatMap(s =>
+        s.toDoubleOption.orElse(warn(s"ignoring unparseable SPARK_GRAFT_CLEAN_BEST='$s'")))
+      def fromResource: Option[Double] =
+        try {
+          val in = getClass.getResourceAsStream("/graft/bench-clean-best.txt")
+          if (in == null) warn("bench-clean-best.txt missing from classpath")
+          // explicit charset: the driver may fork the JVM under a POSIX
+          // locale whose default (ASCII) decoder rejects any non-ASCII byte
+          else try scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8).getLines()
+            .map(_.trim).find(l => l.nonEmpty && !l.startsWith("#")).flatMap(_.toDoubleOption)
+            .orElse(warn("bench-clean-best.txt has no parseable number line"))
+          finally in.close()
+        } catch { case scala.util.control.NonFatal(e) =>
+          warn(s"bench-clean-best.txt unreadable: ${e.getMessage}")
+        }
+      fromEnv.orElse(fromResource).filter(_ > 0).getOrElse(-1.0)
+    }
     val (extractSec, headlineClean) = headline.getOrElse((-1.0, false))
     val pagesPerSec = if (extractSec > 0) nPages / extractSec else -1.0
-    val vsCleanBest = if (pagesPerSec > 0) pagesPerSec / cleanBestPrior else -1.0
+    val vsCleanBest =
+      if (pagesPerSec > 0 && cleanBestPrior > 0) pagesPerSec / cleanBestPrior else -1.0
     val stealDelta = stealTicks() - steal0
 
     // Locale.ROOT formatting (the default-locale f"" interpolator would
@@ -183,8 +182,12 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, (v, _)) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
     // per-query storm self-description: false = every window for that query
-    // was steal-contaminated, so its number is host noise, not engine speed
-    val qc = results.map { case (k, (_, c)) => esc(k) + ":" + c }.mkString("{", ",", "}")
+    // was steal-contaminated, so its number is host noise, not engine speed.
+    // FAILED queries are omitted (not false): a crash is a queries_failed
+    // fact, not a storm fact — conflating them would let a persistent
+    // failure read as transient host noise
+    val qc = results.filter(_._2._1 >= 0)
+      .map { case (k, (_, c)) => esc(k) + ":" + c }.mkString("{", ",", "}")
     // failed queries (-1 sentinel) are EXCLUDED from the total (summing
     // them deflates it) and surfaced as a count instead
     val ok = results.map(_._2._1).filter(_ >= 0)

@@ -134,7 +134,15 @@ object GraphQueries {
     * one edge-sized keyed shuffle + an 8-byte global-sum broadcast (a
     * driver-bounded scalar, the classic two-phase normalize); raw scores
     * are checkpointed per half so the L1 total and the next half never
-    * recompute the join, and lineage stays flat across rounds. */
+    * recompute the join, and lineage stays flat across rounds.
+    *
+    * Integer-range bound: raw(u) ≤ outdeg(u)·HScale in the FIRST half-step
+    * (scores start at HScale each; after any normalize Σ scores ≤ HScale,
+    * so later rounds are far smaller), and the normalize multiplies by
+    * HScale before dividing — so raw·HScale needs outdeg(u) < 2^63/HScale²
+    * ≈ 9.2×10⁶. A host-level hub beyond ~9M distinct outlinks would need a
+    * smaller HScale or a pre-normalized init; at document granularity
+    * outdeg never approaches it. */
   def qHits(spark: SparkSession, dir: String, iters: Int = HitsIters): DataFrame =
     hits(docs(spark, dir).select(col("doc_id").as("node")), edgeList(spark, dir), iters)
       .withColumnRenamed("node", "doc_id")

@@ -524,24 +524,8 @@ object TrainingDataQueries {
     * banding bit-for-bit (md5 weights + integer dots), so the comparison is
     * exact by construction, not recall-dependent. */
   def qDedupEmbCosine(spark: SparkSession, dir: String, threshold: Double = 0.35, topN: Int = 50): DataFrame = {
-    val bands = 6
-    val bitsPerBand = 8
     val base = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    // band join moves ONLY (vec_id, band_key) — vectors are rejoined for
-    // candidate pairs, not duplicated ×6 bands through the shuffle
-    val e = base
-      .select(col("vec_id"), explode(array((0 until bands).map(m =>
-        struct(lit(m).as("band_idx"),
-          signSketchCol(col("embedding"), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"))
-      .select(col("vec_id"), col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-    // rename join keys on BOTH sides: same-lineage column refs would
-    // resolve to one attribute and make the equality trivially true
-    val l = e.select(col("band_idx").as("bi_a"), col("band_key").as("bk_a"), col("vec_id").as("vec_a"))
-    val r = e.select(col("band_idx").as("bi_b"), col("band_key").as("bk_b"), col("vec_id").as("vec_b"))
-    val candidates = l
-      .join(r, col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+    val candidates = bandedCandidates(base, "vec_id", "embedding", Nil, bands = 6, bitsPerBand = 8)
     rejoinCandidatePayloads(candidates, base, "vec_a", "vec_b", "vec_id", "embedding",
         "emb_a", "emb_b")
       .select(col("vec_a"), col("vec_b"), round(cosineQUdf(col("emb_a"), col("emb_b")), 4).as("cos_r"))
@@ -708,7 +692,7 @@ object TrainingDataQueries {
     * ≤ 8k keys. */
   def qTopicClusters(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
-    assignToMedoids(e)
+    assignToMedoids(e)._1
       .select(col("vec_id"), col("list_id"), col("cent_cos_q").as("cos_q"))
       .groupBy(col("list_id"))
       .agg(
@@ -725,7 +709,10 @@ object TrainingDataQueries {
     * fused map-only pass emitting (vec_id, nearest medoid id, quantized
     * cosine to it). Argmax ties → smallest medoid id (ascending iteration
     * + strict >), mirrored by the oracles' `ORDER BY c DESC, c_id` rank. */
-  private def assignToMedoids(e: DataFrame): DataFrame = {
+  /** Returns (assigned frame, corpus row count) — the count sizes both the
+    * medoid modulus here and the caller's band width ([[semBandBits]]),
+    * so it is computed once, not re-counted per consumer. */
+  private def assignToMedoids(e: DataFrame): (DataFrame, Long) = {
     val spark = e.sparkSession
     val total = e.count() // parquet count-star: row-group metadata, no scan
     val mod = medoidModulus(total)
@@ -748,9 +735,10 @@ object TrainingDataQueries {
       }
       (best, math.floor(bestCos * 10000d + 0.5d).toLong)
     })
-    e.withColumn("a", assignUdf(col("embedding")))
+    val assigned = e.withColumn("a", assignUdf(col("embedding")))
       .select(col("vec_id"), col("a._1").as("list_id"), col("a._2").as("cent_cos_q"),
         col("embedding"))
+    (assigned, total)
   }
 
   /** Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-efficient
@@ -803,34 +791,47 @@ object TrainingDataQueries {
     math.min(16, math.max(8, ilog2 - 2))
   }
 
-  /** Intra-cluster sign-LSH candidate pairs (vec_a < vec_b): 6 bands of
-    * `bitsPerBand` md5-hyperplane bits, equi-joined on
-    * (list_id, band_idx, band_key). Expects `assigned` columns
-    * (vec_id, list_id, embedding); only 28-byte key rows shuffle. */
-  private[graft] def semDedupCandidates(assigned: DataFrame, bitsPerBand: Int): DataFrame = {
-    val bands = 6
-    val keys = assigned
-      .select(col("vec_id"), col("list_id"), explode(array((0 until bands).map(m =>
-        struct(lit(m).as("band_idx"),
-          signSketchCol(col("embedding"), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"))
-      .select(col("vec_id"), col("list_id"),
-        col("band.band_idx").as("band_idx"), col("band.band_key").as("band_key"))
-    // rename join keys on BOTH sides (same-lineage refs collapse to one
-    // attribute and make the equality trivially true — see qDedupEmbCosine)
-    val l = keys.select(col("list_id").as("l_a"), col("band_idx").as("bi_a"),
-      col("band_key").as("bk_a"), col("vec_id").as("vec_a"))
-    val r = keys.select(col("list_id").as("l_b"), col("band_idx").as("bi_b"),
-      col("band_key").as("bk_b"), col("vec_id").as("vec_b"))
-    l.join(r, col("l_a") === col("l_b") && col("bi_a") === col("bi_b") &&
-        col("bk_a") === col("bk_b") && col("vec_a") < col("vec_b"))
+  /** THE banded sign-LSH candidate-pair generator — one definition shared
+    * by [[qDedupEmbCosine]] (corpus-wide, no extra keys) and
+    * [[semDedupCandidates]] (keyed by cluster), so the subtle join hygiene
+    * lives in one place. Explodes `bands` band keys of `bitsPerBand`
+    * md5-hyperplane bits per row of `keyed` (idCol, extraKeyCols*, embCol),
+    * self-joins on (extraKeyCols, band_idx, band_key), and emits distinct
+    * (vec_a, vec_b) with vec_a < vec_b. Only the narrow key rows move
+    * through the shuffle — embeddings are rejoined candidate-bounded by
+    * the caller ([[rejoinCandidatePayloads]]), never duplicated ×bands. */
+  private def bandedCandidates(keyed: DataFrame, idCol: String, embCol: String,
+      extraKeyCols: Seq[String], bands: Int, bitsPerBand: Int): DataFrame = {
+    val keys = keyed.select((col(idCol) +: extraKeyCols.map(col)) :+
+        explode(array((0 until bands).map(m =>
+          struct(lit(m).as("band_idx"),
+            signSketchCol(col(embCol), bitsPerBand, m * bitsPerBand).as("band_key"))): _*)).as("band"): _*)
+      .select((col(idCol) +: extraKeyCols.map(col)) :+
+        col("band.band_idx").as("band_idx") :+ col("band.band_key").as("band_key"): _*)
+    // rename join keys on BOTH sides: same-lineage column refs would
+    // resolve to one attribute and make the equality trivially true
+    val joinKeys = extraKeyCols ++ Seq("band_idx", "band_key")
+    val l = keys.select(col(idCol).as("vec_a") +: joinKeys.map(k => col(k).as(s"${k}_a")): _*)
+    val r = keys.select(col(idCol).as("vec_b") +: joinKeys.map(k => col(k).as(s"${k}_b")): _*)
+    val cond = joinKeys.map(k => col(s"${k}_a") === col(s"${k}_b")).reduce(_ && _) &&
+      col("vec_a") < col("vec_b")
+    l.join(r, cond)
       .select(col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")
   }
 
+  /** Intra-cluster sign-LSH candidate pairs (vec_a < vec_b): 6 bands of
+    * `bitsPerBand` md5-hyperplane bits, equi-joined on
+    * (list_id, band_idx, band_key). Expects `assigned` columns
+    * (vec_id, list_id, embedding); only 28-byte key rows shuffle. */
+  private[graft] def semDedupCandidates(assigned: DataFrame, bitsPerBand: Int): DataFrame =
+    bandedCandidates(assigned, "vec_id", "embedding", Seq("list_id"), bands = 6, bitsPerBand)
+
   def semDedup(e: DataFrame, threshold: Double): DataFrame = {
     // checkpoint: the assignment UDF pass runs once, not once per join side
-    val assigned = eagerCheckpoint(assignToMedoids(e))
-    val candidates = semDedupCandidates(assigned, semBandBits(assigned.count()))
+    val (assignedRaw, total) = assignToMedoids(e)
+    val assigned = eagerCheckpoint(assignedRaw)
+    val candidates = semDedupCandidates(assigned, semBandBits(total))
     val payloads = assigned.select(col("vec_id"),
       struct(col("cent_cos_q").as("cent"), col("embedding").as("emb")).as("pl"))
     val paired = rejoinCandidatePayloads(candidates, payloads,

@@ -114,7 +114,30 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * Manifest first (temp + rename), CURRENT pointer last (atomic move) —
     * a reader sees either the old or the new snapshot, never a mix. */
   def commitSnapshot(dataDirs: Seq[String], lineageDirs: Seq[String], runId: String,
-                     extra: Map[String, Any] = Map.empty): Long = withWriterLock {
+                     extra: Map[String, Any] = Map.empty): Long =
+    commitSnapshotExpecting(None, dataDirs, lineageDirs, runId, extra)
+
+  /** Commit variant for REPLACE-type writers (compaction): when
+    * `expectCurrent` is set, the commit throws unless CURRENT still equals
+    * the captured value — checked inside the writer-lock critical section,
+    * immediately before the pointer writes, so the check-then-act window
+    * against an out-of-process writer is a few syscalls rather than the
+    * whole maintenance rewrite. (True cross-process atomicity would need
+    * filesystem-level locking; in-process writers are fully serialized by
+    * the writer lock, and out-of-process racers are outside this layer's
+    * single-writer model — this check turns the likely collisions loud.) */
+  private[table] def commitSnapshotExpecting(expectCurrent: Option[Option[Long]],
+      dataDirs: Seq[String], lineageDirs: Seq[String], runId: String,
+      extra: Map[String, Any]): Long = withWriterLock {
+    expectCurrent.foreach { expected =>
+      val curNow = currentSnapshotId
+      if (curNow != expected)
+        throw new IllegalStateException(
+          s"concurrent commit detected during maintenance of $root: CURRENT moved " +
+            s"from $expected to $curNow since the maintenance rewrite started — a " +
+            "writer is racing the single-writer maintenance contract; rerun the " +
+            "maintenance op while no commits are in flight")
+    }
     Files.createDirectories(p("_manifests"))
     val id = nextSnapshotId
     // stream_state (max committed batch id per stream run) is carried
@@ -537,15 +560,9 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     // start — if CURRENT moved since (a writer outside this JVM's writer
     // lock, e.g. a second process racing a stream commit), committing the
     // rewrite would silently drop that writer's snapshot from CURRENT.
-    // Fail instead; the maintenance caller simply retries between batches.
-    val curNow = currentSnapshotId
-    if (curNow != cur0)
-      throw new IllegalStateException(
-        s"concurrent commit detected during compact of $root: CURRENT moved " +
-          s"from $cur0 to $curNow since maintenance started — a writer is " +
-          "racing the single-writer maintenance contract; rerun compact " +
-          "while no commits are in flight")
-    val id = commitSnapshot(Seq(dataDir), Seq(lineageDir), runId,
+    // The expectation is enforced INSIDE the commit's critical section
+    // (see commitSnapshotExpecting), immediately before the pointer write.
+    val id = commitSnapshotExpecting(Some(cur0), Seq(dataDir), Seq(lineageDir), runId,
       extra = Map("compaction" -> true))
     // clear only the tombstones we KNOW the rewrite applied — not the whole
     // file: a concurrent deleteTask() between the capture above and here

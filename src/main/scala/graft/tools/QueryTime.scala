@@ -12,12 +12,6 @@ import graft.pipeline.GraftSession
   */
 object QueryTime {
 
-  private def stealTicks(): Long =
-    try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
-    } catch { case _: Throwable => 0L }
-
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val pat = args(1).r
@@ -30,10 +24,7 @@ object QueryTime {
       val fn = SparkEntry.queries(name)
       fn(spark, sfDir).count() // per-query warm (cache fills, codegen)
       val runs = (0 until reps).map { _ =>
-        val s0 = stealTicks()
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
+        graft.core.Steal.timeWithSteal(fn(spark, sfDir).count())
       }
       val best = runs.map(_._1).min
       val det = runs.map { case (s, st) => f"$s%.2fs/$st" }.mkString(" ")

@@ -43,22 +43,14 @@ object ScalingBench {
       * windows (identical work varies 10x for ~30s periods — /proc/stat
       * steal confirms), so reps of the two levels are INTERLEAVED and the
       * min per level taken: a steal window then cannot sink one level only,
-      * and min approximates the uncontended steady state. */
-    def stealTicks(): Long =
-      try {
-        val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
-        line.trim.split("\\s+").drop(1).map(_.toLong).lift(7).getOrElse(0L)
-      } catch { case _: Throwable => 0L }
-
-    /** (wall seconds, steal ticks observed during the timed pass). */
+      * and min approximates the uncontended steady state. Timing + clean
+      * predicate come from the SHARED graft.core.Steal so the definition
+      * cannot fork from Bench's. */
     def measureOnce(cores: Int): (Double, Long) = {
       val spark = GraftSession.local(cores)
       try {
         extractCount(spark) // in-session warmup (codegen/JIT), discarded
-        val s0 = stealTicks()
-        val t0 = System.nanoTime()
-        require(extractCount(spark) > 0)
-        ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
+        graft.core.Steal.timeWithSteal(require(extractCount(spark) > 0))
       } finally spark.stop()
     }
 
@@ -68,9 +60,7 @@ object ScalingBench {
     def measureClean(cores: Int): (Double, Long) = {
       var last = measureOnce(cores)
       var tries = 1
-      // reject when > ~1 stolen core avg over the window (100 ticks/core-sec)
-      def dirty(m: (Double, Long)): Boolean = m._2 > math.max(60L, (100.0 * m._1).toLong)
-      while (dirty(last) && tries < 3) {
+      while (!graft.core.Steal.clean(last) && tries < 3) {
         println(f"  retry cores=$cores: ${last._1}%.2fs saw steal=${last._2} ticks")
         last = measureOnce(cores)
         tries += 1
