@@ -91,10 +91,59 @@ case class HostOf(child: Expression)
     copy(child = newChild)
 }
 
+/** ArrayData-direct vector kernels for the expressions below: the Scala-UDF
+  * route deserializes each array to a boxed Seq[Float] per row (two
+  * allocations + 2·dim boxing per cosine); these read the columnar floats
+  * in place. Quantization delegates to [[graft.queries.TrainingDataQueries.quantize]]
+  * — ONE definition of the oracle-exact rounding. */
+object VectorKernels {
+  def cosineQ(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val qa = graft.queries.TrainingDataQueries.quantize(a.getFloat(i))
+      val qb = graft.queries.TrainingDataQueries.quantize(b.getFloat(i))
+      dot += qa * qb; na += qa * qa; nb += qb * qb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+  }
+}
+
+/** `cosine_q(a, b)` — the quantized deterministic cosine
+  * ([[graft.queries.TrainingDataQueries.cosineQ]] semantics, bit-identical
+  * in DuckDB) as a NATIVE expression over two array<float> columns: inside
+  * whole-stage codegen it compiles to one static call over the columnar
+  * ArrayData — no UDF serde, no Seq boxing — which is the hot inner loop
+  * of every ANN probe and dedup verification at corpus scale. */
+case class CosineQ(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineQ(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineQ($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineQ =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extension injecting the functions into the registry — sessions
   * built by GraftSession get `markdown_strip` / `magic_doc_type` /
-  * `host_of` in both the SQL parser and (via call_function) the Column
-  * API. */
+  * `host_of` / `cosine_q` in both the SQL parser and (via call_function)
+  * the Column API. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.SparkSessionExtensions
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -113,6 +162,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("host_of"),
       new ExpressionInfo(classOf[HostOf].getName, "host_of"),
       (exprs: Seq[Expression]) => HostOf(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("cosine_q"),
+      new ExpressionInfo(classOf[CosineQ].getName, "cosine_q"),
+      (exprs: Seq[Expression]) => CosineQ(exprs.head, exprs(1))))
   }
 }
 
@@ -126,4 +179,6 @@ object GraftFunctions {
     call_function("magic_doc_type", bytes, url)
 
   def host_of(url: Column): Column = call_function("host_of", url)
+
+  def cosine_q(a: Column, b: Column): Column = call_function("cosine_q", a, b)
 }

@@ -493,7 +493,13 @@ object TrainingDataQueries {
     if (na == 0L || nb == 0L) 0.0
     else dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
   }
-  private val cosineQUdf = udf((a: Seq[Float], b: Seq[Float]) => cosineQ(a, b))
+  /** Column-level quantized cosine: the NATIVE `cosine_q` Catalyst
+    * expression (graft.functions.CosineQ — ArrayData in place, codegen'd,
+    * no UDF serde/boxing), kept under the historical name so the eight
+    * ANN/dedup call sites read unchanged. Requires a GraftSession
+    * (GraftExtensions registers the function). */
+  private def cosineQUdf(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_q(a, b)
 
   /** Brute-force cosine top-k against probe vec_id=0 (the exact baseline,
     * DuckDB-oracled). Cosine = the quantized tight-loop UDF rather than

@@ -93,4 +93,38 @@ class ExpressionSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT host_of('https://Q.Example/p')").collect()(0).getString(0)
     assert(viaSql == "q.example")
   }
+
+  test("cosine_q: scalar parity with TrainingDataQueries.cosineQ, codegen-only execution") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecs: Seq[Seq[Float]] = Seq(
+      Seq(1f, 0f, 0.5f, -0.25f),
+      Seq(0.99f, 0.01f, 0.5f, -0.25f),
+      Seq(-1f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f), // zero norm -> 0.0 by definition
+      Seq(0.3f, -0.7f, 0.2f, 0.9f),
+    )
+    val probe: Seq[Float] = Seq(1f, 0f, 0.5f, -0.25f)
+    // Range-joined source so codegen must execute the expression
+    val df = spark.range(vecs.size)
+      .select(element_at(typedLit(vecs), (col("id") + 1).cast("int")).as("v"))
+      .select(GraftFunctions.cosine_q(col("v"), typedLit(probe)).as("c"))
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val got =
+      try df.collect().map(_.getDouble(0)).toSeq
+      finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+    val want = vecs.map(v => graft.queries.TrainingDataQueries.cosineQ(v, probe))
+    assert(got == want, s"$got vs $want")
+    assert(got(0) == 1.0 && got(3) == 0.0 && got(2) < 0.0)
+    // expression stays inside a WholeStageCodegen span
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(spans.nonEmpty, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+    // SQL registration
+    val viaSql = spark.sql(
+      "SELECT cosine_q(array(1.0f, 0.0f), array(1.0f, 0.0f))").collect()(0).getDouble(0)
+    assert(viaSql == 1.0)
+  }
 }
