@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CurationQueries, ExtractionQueries, GraphQueries, RelationalQueries, TrainingDataQueries}
+import graft.queries.{CurationQueries, ExtractionQueries, GraphQueries, QualityQueries, RelationalQueries, TrainingDataQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,9 +20,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ TrainingDataQueries.all ++ CurationQueries.all ++
-      ExtractionQueries.all ++ GraphQueries.all
+      ExtractionQueries.all ++ GraphQueries.all ++ QualityQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ TrainingDataQueries.oracles ++ CurationQueries.oracles ++
-      ExtractionQueries.oracles ++ GraphQueries.oracles
+      ExtractionQueries.oracles ++ GraphQueries.oracles ++ QualityQueries.oracles
 }

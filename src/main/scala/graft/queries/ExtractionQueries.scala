@@ -610,7 +610,30 @@ object ExtractionQueries {
         |  ('https://site9.example/blog/page-9.md', 'md', 'c1d498f37ba888cdd51c668cd8b5bf30a67233ba21876c48fc25244af4f312ff')
         |) t(url, document_type, content_sha256) ORDER BY url
         |""".stripMargin.trim,
+
+    // Pinned doc-type distribution over the same 64 urls — derived from
+    // (and kept in lockstep with) the audited x_extract_hashes VALUES:
+    // the per-url types there aggregate to exactly these counts. Any
+    // detector drift flips both oracles together.
+    "x_types64" ->
+      """SELECT * FROM (VALUES
+        |  ('asciidoc', 2), ('docx', 3), ('html', 43), ('image', 2),
+        |  ('md', 3), ('pdf', 6), ('pptx', 2), ('xlsx', 3)
+        |) t(document_type, n_docs) ORDER BY document_type""".stripMargin,
   )
+
+  /** Pinned doc-type distribution over the same 64 urls — T1 routing as a
+    * VALUES-pinned hard check. The full-corpus [[xDocTypes]] stays
+    * rows-only by design (its counts are sf-variant); this variant pins
+    * the detector's per-format decisions driver-visibly, shrinking the
+    * no_oracle residual. Uses the codegen'd `magic_doc_type` expression
+    * (whole-stage, no UDF). */
+  def xTypes64(spark: SparkSession, dir: String): DataFrame =
+    pinnedPages(spark, dir)
+      .select(expr("magic_doc_type(html, url)").as("document_type"))
+      .groupBy(col("document_type"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("document_type"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_summary" -> (xExtractSummary _),
@@ -625,5 +648,6 @@ object ExtractionQueries {
     "x_links64" -> (xLinks64 _),
     "x_host_rank64" -> (xHostRank64 _),
     "x_anchors64" -> (xAnchors64 _),
+    "x_types64" -> (xTypes64 _),
   )
 }

@@ -1,0 +1,292 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-quality gating operators from the published web-pipeline
+  * literature, cross-engine exact (DuckDB-oracled like the rest of the
+  * q_* surface):
+  *
+  *  - [[qGopherQuality]] — the Gopher rule set (Rae et al. 2021, table A1
+  *    subset expressible identically in both engines): word-count bounds,
+  *    mean-word-length bounds, alphabetic-word fraction, stopword
+  *    presence, symbol-to-word ratio ('#' / '…' proxies). All pass/fail
+  *    comparisons are INTEGER inequalities (e.g. frac_alpha ≥ 0.8 is
+  *    `5·n_alpha ≥ 4·n_words`), so the gate has zero floating-point
+  *    boundary hazard between engines; the reported fractions are
+  *    presentation-only rounds.
+  *  - [[qRepetitionStats]] — Gopher's repetition signals re-expressed at
+  *    word granularity for a single-line corpus: duplicate-word fraction,
+  *    most-common-word fraction, most-common-bigram fraction.
+  *  - [[qCcnetBuckets]] — CCNet-style (Wenzek et al. 2020) perplexity
+  *    tertiles: per-language head/middle/tail buckets over the integer
+  *    bigram-surprisal score of [[CurationQueries.lmScore]].
+  *
+  * Scale design (100 TB shapes):
+  *  - gopher is pure per-row array/string ops — map-only, whole-stage
+  *    codegen, no UDF, nothing shuffles;
+  *  - repetition is two keyed aggregations with map-side partial combine;
+  *    the shuffled keys are (doc_id, word[pair]) token rows — bounded by
+  *    corpus token count, no skew beyond hot documents (AQE splits);
+  *  - ccnet buckets needs per-language rank — at bench scale an exact
+  *    window (one shuffle by lang; 16-byte (doc_id, score) rows), at
+  *    10^12 docs the same cut points come from approx quantiles
+  *    (`approx_percentile(avg_bits, [1/3, 2/3])` per lang, broadcast,
+  *    then a map-only bucket assign) — documented here because the exact
+  *    window is what the oracle can pin.
+  */
+object QualityQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  // ------------------------------------------------------- gopher rules
+
+  /** Symbol augmentation (the [[CurationQueries.qPiiRedact]] discipline:
+    * the word-salad corpus carries no markup symbols, so a deterministic
+    * doc_id-derived suffix makes the symbol rule actually fire): heavy
+    * markup for doc_id % 4 == 0 (17 symbols / 7 extra words — fails the
+    * 10% symbol bar at every corpus doc length), a single '#' for
+    * doc_id % 8 == 1 (passes it at ≥ 10 words), nothing otherwise. */
+  private val HeavySyms = " ### ... #### ... ### ... ####"
+
+  /** Gopher quality rules per document. Output fractions are rounded for
+    * presentation; `pass` is computed from exact integers only:
+    * 50 ≤ n_words ≤ 100000, 3·n_words ≤ Σlen ≤ 10·n_words (mean word
+    * length in [3,10]), 5·n_alpha ≥ 4·n_words (≥80% words contain a
+    * letter), n_stop ≥ 2, 10·(n_hash + n_ellipsis) ≤ n_words (symbol
+    * ratio ≤ 0.1). */
+  def qGopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQuality(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame — unit-testable on crafted
+    * corpora (QualitySpec hand-computes every column). */
+  def gopherQuality(d: DataFrame): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "with", "for")
+    val aug = concat(lower(col("text")),
+      when(col("doc_id") % 4 === 0, lit(HeavySyms))
+        .when(col("doc_id") % 8 === 1, lit(" #"))
+        .otherwise(lit("")))
+    d.select(col("doc_id"), aug.as("aug"))
+      .withColumn("w", filter(split(col("aug"), "\\s+"), x => x =!= lit("")))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("sum_len", aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long")))
+      .withColumn("n_alpha", size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop", size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
+      .withColumn("n_sym",
+        (length(col("aug")) - length(expr("replace(aug, '#', '')"))).cast("long")
+          + ((length(col("aug")) - length(expr("replace(aug, '...', '')"))) / 3).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round(when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("sum_len").cast("double") / col("n_words")), 4).as("mean_wl_r"),
+        round(when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_alpha").cast("double") / col("n_words")), 4).as("frac_alpha_r"),
+        col("n_stop"),
+        round(when(col("n_words") === 0, lit(0.0))
+          .otherwise(col("n_sym").cast("double") / col("n_words")), 4).as("sym_r"),
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10 &&
+          col("n_alpha") * 5 >= col("n_words") * 4 &&
+          col("n_stop") >= 2 &&
+          col("n_sym") * 10 <= col("n_words")).as("pass"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------- repetition signals
+
+  /** Gopher repetition signals at word granularity: duplicate-word
+    * fraction (1 − distinct/total), most-common-word fraction, and
+    * most-common-bigram fraction per document. Two keyed aggregations
+    * (unigram, bigram) with map-side combine; empty/short docs report
+    * zeros via the left join back. */
+  def qRepetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame (QualitySpec). */
+  def repetitionStats(d: DataFrame): DataFrame = {
+    val w = d.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("wl"))
+    val wc = w.select(col("doc_id"), explode(col("wl")).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+    val p1 = wc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("top_word_cnt"))
+    val bc = w.where(size(col("wl")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(wl) - 1), i -> struct(element_at(wl, i) AS w1, element_at(wl, i + 1) AS w2))")).as("e"))
+      .groupBy(col("doc_id"), col("e.w1"), col("e.w2")).agg(count(lit(1)).as("c"))
+    val p2 = bc.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      max(col("c")).as("top_bigram_cnt"))
+    def frac(num: Column, den: Column): Column =
+      round(when(den === 0, lit(0.0)).otherwise(num.cast("double") / den), 4)
+    d.select(col("doc_id"))
+      .join(p1, Seq("doc_id"), "left")
+      .join(p2, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_word_cnt"), lit(0L)).as("top_word_cnt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+      )
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"), col("top_word_cnt"),
+        col("n_bigrams"), col("top_bigram_cnt"),
+        frac(col("n_tokens") - col("n_distinct"), col("n_tokens")).as("dup_frac_r"),
+        frac(col("top_word_cnt"), col("n_tokens")).as("top_word_frac_r"),
+        frac(col("top_bigram_cnt"), col("n_bigrams")).as("top_bigram_frac_r"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------- perplexity buckets
+
+  /** CCNet-style head/middle/tail perplexity buckets per language over
+    * [[CurationQueries.lmScore]]'s integer bigram surprisal. Bucket
+    * assignment is the exact integer formula 1 + ⌊3·(rank−1)/n⌋ over
+    * (avg_bits_r, doc_id) rank within each language — reproduced verbatim
+    * by the oracle (no reliance on either engine's NTILE remainder
+    * placement). */
+  def qCcnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBuckets(docs(spark, dir))
+
+  /** Core over any `(doc_id, text, lang)` frame (QualitySpec
+    * hand-computes the surprisal and the tertile formula). */
+  def ccnetBuckets(d: DataFrame): DataFrame = {
+    val scored = CurationQueries.lmScore(d)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val byLang = Window.partitionBy(col("lang"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(byLang.orderBy(col("avg_bits_r"), col("doc_id"))))
+      .withColumn("n_lang", count(lit(1)).over(byLang))
+      .withColumn("bucket", expr("CAST(1 + (3 * CAST(rn - 1 AS BIGINT)) DIV n_lang AS INT)"))
+    ranked.groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("avg_bits_r")).as("min_bits_r"),
+        max(col("avg_bits_r")).as("max_bits_r"),
+      )
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- wiring
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gopher_quality" -> (qGopherQuality _),
+    "q_repetition_stats" -> (qRepetitionStats _),
+    "q_ccnet_buckets" -> (qCcnetBuckets _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_gopher_quality" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         lower(text) || CASE WHEN doc_id % 4 = 0 THEN ' ### ... #### ... ### ... ####'
+        |                             WHEN doc_id % 8 = 1 THEN ' #'
+        |                             ELSE '' END AS aug
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, aug,
+        |         list_filter(string_split_regex(aug, '\s+'), x -> x <> '') AS wl
+        |  FROM a
+        |), m AS (
+        |  SELECT doc_id,
+        |         len(wl)::BIGINT AS n_words,
+        |         coalesce(list_sum(list_transform(wl, x -> length(x))), 0)::BIGINT AS sum_len,
+        |         len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |         len(list_filter(wl, x -> list_contains(['the','a','of','and','to','in','is','that','with','for'], x)))::BIGINT AS n_stop,
+        |         ((length(aug) - length(replace(aug, '#', '')))
+        |          + (length(aug) - length(replace(aug, '...', ''))) // 3)::BIGINT AS n_sym
+        |  FROM s
+        |)
+        |SELECT doc_id, n_words,
+        |       round(CASE WHEN n_words = 0 THEN 0.0 ELSE sum_len::DOUBLE / n_words END, 4) AS mean_wl_r,
+        |       round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha::DOUBLE / n_words END, 4) AS frac_alpha_r,
+        |       n_stop,
+        |       round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_sym::DOUBLE / n_words END, 4) AS sym_r,
+        |       (n_words >= 50 AND n_words <= 100000
+        |        AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |        AND n_alpha * 5 >= n_words * 4
+        |        AND n_stop >= 2
+        |        AND n_sym * 10 <= n_words) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_repetition_stats" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(wl) AS word FROM w
+        |), wc AS (
+        |  SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2
+        |), p1 AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+        |         max(c)::BIGINT AS top_word_cnt
+        |  FROM wc GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id, wl[i] AS w1, wl[i + 1] AS w2
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl) - 1)) AS i
+        |        FROM w WHERE len(wl) >= 2)
+        |), bc AS (
+        |  SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3
+        |), p2 AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_bigram_cnt
+        |  FROM bc GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       coalesce(n_distinct, 0)::BIGINT AS n_distinct,
+        |       coalesce(top_word_cnt, 0)::BIGINT AS top_word_cnt,
+        |       coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |       coalesce(top_bigram_cnt, 0)::BIGINT AS top_bigram_cnt,
+        |       round(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |             ELSE (n_tokens - n_distinct)::DOUBLE / n_tokens END, 4) AS dup_frac_r,
+        |       round(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |             ELSE top_word_cnt::DOUBLE / n_tokens END, 4) AS top_word_frac_r,
+        |       round(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |             ELSE top_bigram_cnt::DOUBLE / n_bigrams END, 4) AS top_bigram_frac_r
+        |FROM documents d LEFT JOIN p1 USING (doc_id) LEFT JOIN p2 USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ccnet_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w1, count(*) AS cu FROM (SELECT unnest(wl) AS w1 FROM w) GROUP BY 1
+        |), bg AS (
+        |  SELECT doc_id, wl[i] AS w1, wl[i + 1] AS w2
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl) - 1)) AS i
+        |        FROM w WHERE len(wl) >= 2)
+        |), bgc AS (
+        |  SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2
+        |), per AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |         sum(length(bin(cu)) - length(bin(cb))) AS bits
+        |  FROM bg JOIN bgc USING (w1, w2) JOIN uni USING (w1)
+        |  GROUP BY 1
+        |), s AS (
+        |  SELECT d.doc_id, d.lang,
+        |         round(CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0
+        |               ELSE bits::DOUBLE / n_bigrams END, 4) AS avg_bits_r
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |), r AS (
+        |  SELECT lang, avg_bits_r,
+        |         row_number() OVER (PARTITION BY lang ORDER BY avg_bits_r, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n_lang
+        |  FROM s
+        |)
+        |SELECT lang, (1 + (3 * (rn - 1)::BIGINT) // n_lang)::INT AS bucket,
+        |       count(*)::BIGINT AS n_docs,
+        |       min(avg_bits_r) AS min_bits_r,
+        |       max(avg_bits_r) AS max_bits_r
+        |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+  )
+}
