@@ -684,6 +684,121 @@ object TrainingDataQueries {
     }
   }
 
+  /** md5 codeword-donor modulus for [[qAnnPq]]: max(31, n/256) bounds the
+    * expected codebook size at n/mod ≤ ~511 donors at ANY corpus size
+    * (classical PQ uses K = 256 codewords per subspace; same bounding
+    * argument as [[medoidModulus]]). Keep in lockstep with the
+    * `greatest(31, count(*) // 256)` term in the q_ann_pq oracle SQL. */
+  private[graft] def pqModulus(total: Long): Long =
+    math.max(31L, total / 256L)
+
+  /** Product-quantization ANN (Jégou, Douze, Schmid 2011 "Product
+    * quantization for nearest neighbor search"), made cross-engine exact:
+    *
+    *  - the D-dim vector space is split into `m` subspaces of D/m dims;
+    *  - the per-subspace codebook is the subvectors of md5-selected
+    *    DONOR vectors ([[pqModulus]] bounds the codebook ≤ ~511 entries
+    *    at any corpus size) — hash-selected donors instead of trained
+    *    per-subspace k-means for the same reason [[qAnnIvf]] defaults to
+    *    medoids over k-means: bit-for-bit DuckDB reproducibility (the
+    *    trained variant is the same plan shape with a broadcast trained
+    *    codebook);
+    *  - every vector's code is the per-subspace argmin of INTEGER squared
+    *    L2 distance on the [[quantize]]d components (ties → smaller donor
+    *    id) — all arithmetic in longs, zero FP hazard (max component
+    *    ~2^21 ⇒ per-sub sums < 2^48);
+    *  - ADC (asymmetric distance computation): the probe's per-subspace
+    *    distance table to every codeword is precomputed driver-side
+    *    (m × K longs, broadcast), and a vector's approximate distance is
+    *    the integer sum of table entries at its codes;
+    *  - the ADC `shortlist` is re-ranked by exact quantized cosine and
+    *    the top `k` returned — the standard compressed-scan + exact
+    *    re-rank serving shape.
+    *
+    * Scale: at 10^9+ vectors the codes are a materialized m-bytes-per-
+    * vector table (here fused into the scan — bench corpus is small);
+    * the ADC scan is map-only over codes with a broadcast distance table
+    * and never touches raw embeddings; only the ≤`shortlist` ids join
+    * back to the embedding table (broadcast semi) for the exact re-rank.
+    * Driver collects are bounded: donors ≤ ~511 rows + the probe. */
+  def qAnnPq(spark: SparkSession, dir: String, k: Int = 10, m: Int = 8,
+      shortlist: Int = 40): DataFrame =
+    annPq(emb(spark, dir).select(col("vec_id"), col("embedding")), k, m, shortlist)
+
+  /** Core over any `(vec_id, embedding)` frame — unit-testable on crafted
+    * corpora (AnnPqSpec). Probe = vec_id 0, excluded from candidates. */
+  def annPq(e: DataFrame, k: Int, m: Int, shortlist: Int): DataFrame = {
+    val total = e.count() // parquet count-star at the corpus path
+    val mod = pqModulus(total)
+    def isDonorId(id: Long): Boolean =
+      java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), mod) == 0L
+    val donorUdf = udf((id: Long) => isDonorId(id))
+    // ONE job fetches the donor set AND the probe vector (IVF discipline)
+    val fetched = e.where(col("vec_id") === 0 || donorUdf(col("vec_id"))).collect()
+    val probeRow = fetched.find(_.getLong(0) == 0L)
+      .getOrElse(sys.error("probe vec_id=0 missing"))
+    val probeVec = probeRow.getSeq[Float](1)
+    val probeQ = probeVec.map(quantize).toArray
+    val donors: Array[(Long, Array[Long])] = fetched
+      .filter(r => isDonorId(r.getLong(0)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(quantize).toArray))
+      .sortBy(_._1)
+    require(donors.nonEmpty, "no PQ codebook donors selected")
+    val dims = probeQ.length
+    require(dims % m == 0, s"dim $dims not divisible by $m subspaces")
+    val sub = dims / m
+    def sqDistSub(a: Array[Long], b: Array[Long], off: Int): Long = {
+      var s = 0L
+      var i = 0
+      while (i < sub) { val d = a(off + i) - b(off + i); s += d * d; i += 1 }
+      s
+    }
+    // probe ADC table: pd(subspace)(donor index)
+    val pd: Array[Array[Long]] =
+      Array.tabulate(m, donors.length)((mi, di) => sqDistSub(probeQ, donors(di)._2, mi * sub))
+    val bcDonors = e.sparkSession.sparkContext.broadcast(donors.map(_._2))
+    val bcPd = e.sparkSession.sparkContext.broadcast(pd)
+    // fused encode + ADC: per subspace the argmin codeword (strict < over
+    // ascending donor index = smallest donor id on ties, mirroring the
+    // oracle's ORDER BY d, c_id), then the integer table-sum
+    val adcUdf = udf((v: Seq[Float]) => {
+      val q = new Array[Long](dims)
+      var i = 0
+      while (i < dims) { q(i) = quantize(v(i)); i += 1 }
+      val ds = bcDonors.value
+      val tbl = bcPd.value
+      var adc = 0L
+      var mi = 0
+      while (mi < m) {
+        val off = mi * sub
+        var best = 0
+        var bestD = Long.MaxValue
+        var di = 0
+        while (di < ds.length) {
+          var s = 0L
+          var j = 0
+          while (j < sub) { val d = q(off + j) - ds(di)(off + j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = di }
+          di += 1
+        }
+        adc += tbl(mi)(best)
+        mi += 1
+      }
+      adc
+    })
+    val short = e.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), adcUdf(col("embedding")).as("adc_q"))
+      .orderBy(col("adc_q"), col("vec_id"))
+      .limit(shortlist)
+    // exact re-rank: only shortlist ids rejoin the embedding table
+    e.join(broadcast(short), "vec_id")
+      .select(col("vec_id"), col("adc_q"),
+        round(cosineQUdf(col("embedding"), typedLit(probeVec)), 4).as("cos_r"))
+      .orderBy(col("cos_r").desc, col("vec_id"))
+      .limit(k)
+      .orderBy(col("vec_id"))
+  }
+
   /** Corpus-composition clustering: every embedding assigned to its nearest
     * md5-selected medoid (the same bounded coarse quantizer as [[qAnnIvf]])
     * and each cluster reported with size, smallest member, and an exact
@@ -1424,6 +1539,48 @@ object TrainingDataQueries {
          |  ORDER BY cos_r DESC, e.vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
 
+    // Full reproduction of the PQ pipeline: md5-selected codeword donors
+    // (greatest(31, n//256) modulus), per-subspace integer-L2 argmin codes
+    // (ties -> smaller donor id), probe ADC table, integer ADC sums,
+    // shortlist-40, exact quantized-cosine re-rank to top-10. Subspace
+    // geometry hardcoded to the default m=8 over the 64-dim corpus.
+    "q_ann_pq" ->
+      s"""WITH $QvCte,
+         |donors AS (
+         |  SELECT vec_id AS c_id, q AS cq FROM qn
+         |  WHERE md5_number_lower(vec_id::VARCHAR)
+         |        % (SELECT greatest(31, count(*) // 256)::UBIGINT FROM embeddings) = 0
+         |), probe AS (SELECT q AS pq, n2 AS pn2 FROM qn WHERE vec_id = 0),
+         |dist AS (
+         |  SELECT e.vec_id, s.mi, d.c_id,
+         |         list_sum(list_transform(generate_series(s.mi * 8 + 1, s.mi * 8 + 8),
+         |                                 i -> (e.q[i] - d.cq[i]) * (e.q[i] - d.cq[i])))::BIGINT AS dd
+         |  FROM qn e CROSS JOIN generate_series(0, 7) s(mi) CROSS JOIN donors d
+         |), asg AS (
+         |  SELECT vec_id, mi, c_id FROM (
+         |    SELECT vec_id, mi, c_id,
+         |           row_number() OVER (PARTITION BY vec_id, mi ORDER BY dd, c_id) AS rn
+         |    FROM dist) WHERE rn = 1
+         |), ptab AS (
+         |  SELECT s.mi, d.c_id,
+         |         list_sum(list_transform(generate_series(s.mi * 8 + 1, s.mi * 8 + 8),
+         |                                 i -> (p.pq[i] - d.cq[i]) * (p.pq[i] - d.cq[i])))::BIGINT AS pd
+         |  FROM probe p CROSS JOIN generate_series(0, 7) s(mi) CROSS JOIN donors d
+         |), adc AS (
+         |  SELECT a.vec_id, sum(t.pd)::BIGINT AS adc_q
+         |  FROM asg a JOIN ptab t USING (mi, c_id)
+         |  GROUP BY 1
+         |), short AS (
+         |  SELECT vec_id, adc_q FROM adc WHERE vec_id <> 0
+         |  ORDER BY adc_q, vec_id LIMIT 40
+         |)
+         |SELECT vec_id, adc_q, cos_r FROM (
+         |  SELECT s.vec_id, s.adc_q,
+         |         round(${cosQSql("e.q", "e.n2", "p.pq", "p.pn2")}, 4) AS cos_r
+         |  FROM short s JOIN qn e USING (vec_id) CROSS JOIN probe p
+         |  ORDER BY cos_r DESC, s.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
     // Full reproduction of the medoid clustering: same hash-selected
     // medoids as q_ann_ivf, argmax-quantized-cosine assignment, exact
     // integer cohesion digest (floor(c*1e4+0.5) — both engines compute the
@@ -1601,6 +1758,7 @@ object TrainingDataQueries {
     "q_ann_brute_force" -> ((s: SparkSession, d: String) => qAnnBruteForce(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) => qAnnLsh(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) => qAnnIvf(s, d)),
+    "q_ann_pq" -> ((s: SparkSession, d: String) => qAnnPq(s, d)),
     "q_topic_clusters" -> (qTopicClusters _),
     "q_semdedup" -> ((s: SparkSession, d: String) => qSemDedup(s, d)),
     "q_quality_score" -> (qQualityScore _),
