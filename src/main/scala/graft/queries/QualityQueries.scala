@@ -60,39 +60,48 @@ object QualityQueries {
   def qGopherQuality(spark: SparkSession, dir: String): DataFrame =
     gopherQuality(docs(spark, dir))
 
-  /** Core over any `(doc_id, text)` frame — unit-testable on crafted
-    * corpora (QualitySpec hand-computes every column). */
-  def gopherQuality(d: DataFrame): DataFrame = {
+  /** Appends the Gopher metric + `pass` columns computed over a LOWERCASE
+    * text column named `gtext` (which is consumed). Shared by the batch
+    * oracle query (augmented corpus text) and the streaming gate over
+    * extracted content ([[graft.streaming.StreamingExtract]]) — one rule
+    * implementation, two surfaces. Map-only: array/string builtins, no
+    * UDF. */
+  private[graft] def gopherMetrics(df: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "that", "with", "for")
-    val aug = concat(lower(col("text")),
-      when(col("doc_id") % 4 === 0, lit(HeavySyms))
-        .when(col("doc_id") % 8 === 1, lit(" #"))
-        .otherwise(lit("")))
-    d.select(col("doc_id"), aug.as("aug"))
-      .withColumn("w", filter(split(col("aug"), "\\s+"), x => x =!= lit("")))
+    df
+      .withColumn("w", filter(split(col("gtext"), "\\s+"), x => x =!= lit("")))
       .withColumn("n_words", size(col("w")).cast("long"))
       .withColumn("sum_len", aggregate(col("w"), lit(0L), (acc, x) => acc + length(x).cast("long")))
       .withColumn("n_alpha", size(filter(col("w"), x => x.rlike("[a-z]"))).cast("long"))
       .withColumn("n_stop", size(filter(col("w"), x => x.isin(stop: _*))).cast("long"))
       .withColumn("n_sym",
-        (length(col("aug")) - length(expr("replace(aug, '#', '')"))).cast("long")
-          + ((length(col("aug")) - length(expr("replace(aug, '...', '')"))) / 3).cast("long"))
-      .select(
-        col("doc_id"),
-        col("n_words"),
-        round(when(col("n_words") === 0, lit(0.0))
-          .otherwise(col("sum_len").cast("double") / col("n_words")), 4).as("mean_wl_r"),
-        round(when(col("n_words") === 0, lit(0.0))
-          .otherwise(col("n_alpha").cast("double") / col("n_words")), 4).as("frac_alpha_r"),
-        col("n_stop"),
-        round(when(col("n_words") === 0, lit(0.0))
-          .otherwise(col("n_sym").cast("double") / col("n_words")), 4).as("sym_r"),
-        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+        (length(col("gtext")) - length(expr("replace(gtext, '#', '')"))).cast("long")
+          + ((length(col("gtext")) - length(expr("replace(gtext, '...', '')"))) / 3).cast("long"))
+      .withColumn("mean_wl_r", round(when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("sum_len").cast("double") / col("n_words")), 4))
+      .withColumn("frac_alpha_r", round(when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("n_alpha").cast("double") / col("n_words")), 4))
+      .withColumn("sym_r", round(when(col("n_words") === 0, lit(0.0))
+        .otherwise(col("n_sym").cast("double") / col("n_words")), 4))
+      .withColumn("pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("sum_len") >= col("n_words") * 3 && col("sum_len") <= col("n_words") * 10 &&
           col("n_alpha") * 5 >= col("n_words") * 4 &&
           col("n_stop") >= 2 &&
-          col("n_sym") * 10 <= col("n_words")).as("pass"),
-      )
+          col("n_sym") * 10 <= col("n_words"))
+      .drop("w", "gtext")
+  }
+
+  /** Core over any `(doc_id, text)` frame — unit-testable on crafted
+    * corpora (QualitySpec hand-computes every column). */
+  def gopherQuality(d: DataFrame): DataFrame = {
+    val aug = concat(lower(col("text")),
+      when(col("doc_id") % 4 === 0, lit(HeavySyms))
+        .when(col("doc_id") % 8 === 1, lit(" #"))
+        .otherwise(lit("")))
+    gopherMetrics(d.select(col("doc_id"), aug.as("gtext")))
+      .select(col("doc_id"), col("n_words"), col("mean_wl_r"), col("frac_alpha_r"),
+        col("n_stop"), col("sym_r"), col("pass"))
       .orderBy(col("doc_id"))
   }
 

@@ -412,6 +412,28 @@ object StreamingExtract extends Serializable {
         predictUdf(col("content")).as("predicted"))
   }
 
+  /** Streaming Gopher quality gate — the crawl-time twin of the batch
+    * [[graft.queries.QualityQueries.gopherQuality]] rule set, applied to
+    * EXTRACTED content as pages arrive: extract → lowercase content →
+    * the shared integer-exact rule columns → per-doc metrics + gate
+    * decision. Stateless and map-only (array/string builtins, no UDF, no
+    * watermark, no shuffle) — the shape a production filter runs inline
+    * with ingestion at any scale. One rule implementation serves both
+    * surfaces (`gopherMetrics`), so stream == batch per document by
+    * construction; StreamingSpec pins it empirically anyway. */
+  def gopherGateStream(
+      pages: Dataset[Page],
+      options: ConversionOptions = ConversionOptions(),
+  )(implicit spark: SparkSession): DataFrame =
+    graft.queries.QualityQueries.gopherMetrics(
+      ExtractKernel.extract(pages, options)(spark)
+        .where(col("status") === "completed" && length(col("content")) > 0)
+        .select(col("url"), col("warc_ts"), col("document_type"),
+          lower(col("content")).as("gtext")))
+      .select(col("url"), col("warc_ts"), col("document_type"),
+        col("n_words"), col("mean_wl_r"), col("frac_alpha_r"),
+        col("n_stop"), col("sym_r"), col("pass"))
+
   /** Streaming link harvest: pages → anchor extraction → resolved target
     * hosts → watermarked tumbling-window in-degree per host — the
     * continuous analog of the batch link family (x_links64 /

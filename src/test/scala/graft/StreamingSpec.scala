@@ -406,4 +406,49 @@ class StreamingSpec extends AnyFunSuite {
     // priors tie at 2/4 each -> fallback is the lexicographically-first label
     assert(rows == Seq(("u://fruit", "srcA"), ("u://none", "srcA"), ("u://veg", "srcB")))
   }
+
+  test("streaming gopher gate: stream decisions equal the batch rule application") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = 1735689600000L
+    def page(url: String, body: String, ms: Long) = graft.model.Page(
+      url, new java.sql.Timestamp(base + ms),
+      s"<html><body><p>$body</p></body></html>".getBytes("UTF-8"), "", "en")
+    // long page passes every rule (>=50 words, stopwords, no symbols);
+    // short page fails the word-count bound
+    val longBody = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val pages = Seq(
+      page("u://long", longBody, 0),
+      page("u://short", "too short to pass", 1000),
+    )
+
+    val mem = MemoryStream[graft.model.Page]
+    val q = StreamingExtract.gopherGateStream(mem.toDS())(spark)
+      .writeStream.format("memory").queryName("gated").outputMode("append").start()
+    mem.addData(pages: _*)
+    q.processAllAvailable()
+    val streamRows = spark.sql(
+      "select url, n_words, mean_wl_r, frac_alpha_r, n_stop, sym_r, pass from gated order by url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+    q.stop()
+
+    // batch twin: same extraction kernel, same shared rule columns
+    import org.apache.spark.sql.functions._
+    val batchRows = graft.queries.QualityQueries.gopherMetrics(
+      graft.pipeline.ExtractKernel.extract(spark.createDataset(pages), graft.model.ConversionOptions())(spark)
+        .where(col("status") === "completed" && length(col("content")) > 0)
+        .select(col("url"), lower(col("content")).as("gtext")))
+      .select(col("url"), col("n_words"), col("mean_wl_r"), col("frac_alpha_r"),
+        col("n_stop"), col("sym_r"), col("pass"))
+      .orderBy(col("url"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toSeq
+
+    assert(streamRows == batchRows)
+    val byUrl = streamRows.map(r => r._1 -> r._7).toMap
+    assert(byUrl("u://long") && !byUrl("u://short"))
+  }
 }
