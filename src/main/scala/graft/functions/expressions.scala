@@ -140,10 +140,36 @@ case class CosineQ(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nfc_normalize(str)` — Unicode NFC normalization (canonical
+  * decomposition + composition), the text-canonicalization step every
+  * web-corpus cleanup runs before hashing/dedup so that `e` +
+  * U+0301 and precomposed `é` digest identically. Spark has no builtin
+  * for this; DuckDB's `nfc_normalize` is the oracle twin (both sides
+  * implement the same Unicode NFC algorithm — utf8proc there,
+  * `java.text.Normalizer` here). Codegen'd static call, no fallback. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Session extension injecting the functions into the registry — sessions
   * built by GraftSession get `markdown_strip` / `magic_doc_type` /
-  * `host_of` / `cosine_q` in both the SQL parser and (via call_function)
-  * the Column API. */
+  * `host_of` / `cosine_q` / `nfc_normalize` in both the SQL parser and
+  * (via call_function) the Column API. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.SparkSessionExtensions
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -166,6 +192,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("cosine_q"),
       new ExpressionInfo(classOf[CosineQ].getName, "cosine_q"),
       (exprs: Seq[Expression]) => CosineQ(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
   }
 }
 
@@ -181,4 +211,6 @@ object GraftFunctions {
   def host_of(url: Column): Column = call_function("host_of", url)
 
   def cosine_q(a: Column, b: Column): Column = call_function("cosine_q", a, b)
+
+  def nfc_normalize(c: Column): Column = call_function("nfc_normalize", c)
 }

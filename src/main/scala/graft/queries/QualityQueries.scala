@@ -155,6 +155,50 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------- unicode cleanup
+
+  /** Deterministic doc_id-derived "messy" suffix (the augmentation
+    * discipline): a combining acute (cafe + U+0301), a combining
+    * diaeresis, an NBSP, a zero-width space, a control char, doubled
+    * spaces and a tab; odd doc_ids add a combining ring (a + U+030A → å)
+    * so both parities exercise composition. */
+  private val MessySuffix =
+    " cafe\u0301 na\u0308ive\u00A0mix\u200Bed\u0001ctl  double\tspaced"
+
+  /** Unicode text canonicalization — the cleanup pass every web corpus
+    * runs before hashing/dedup (NFC so combining sequences and
+    * precomposed forms digest identically, then NBSP → space, zero-width
+    * and control chars stripped, whitespace collapsed, trimmed). NFC via
+    * the native codegen'd `nfc_normalize` expression
+    * ([[graft.functions.NfcNormalize]] — Spark has no builtin; DuckDB's
+    * `nfc_normalize` is the oracle twin). Regex char classes use \x{..}
+    * escapes valid in BOTH Java regex and RE2, and whitespace collapse is
+    * the explicit `[ \t]+` (Java and RE2 disagree on `\s`'s unicode
+    * coverage). Pure per-row string kernels: map-only at any scale. */
+  def qUnicodeClean(spark: SparkSession, dir: String): DataFrame =
+    unicodeClean(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame (QualitySpec). */
+  def unicodeClean(d: DataFrame): DataFrame = {
+    val aug = concat(col("text"), lit(MessySuffix),
+      when(col("doc_id") % 2 === 1, lit(" a\u030Angstro\u0308m")).otherwise(lit("")))
+    d.select(col("doc_id"), aug.as("s0"))
+      .withColumn("s1", graft.functions.GraftFunctions.nfc_normalize(col("s0")))
+      .withColumn("s5", trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("s1"), "\\x{a0}", " "),
+          "[\\x{200b}\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]", ""),
+        "[ \\t]+", " ")))
+      .select(
+        col("doc_id"),
+        length(col("s0")).cast("long").as("n_raw"),
+        length(col("s1")).cast("long").as("n_nfc"),
+        length(col("s5")).cast("long").as("n_clean"),
+        md5(col("s5").cast("binary")).as("clean_md5"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- perplexity buckets
 
   /** CCNet-style head/middle/tail perplexity buckets per language over
@@ -191,6 +235,7 @@ object QualityQueries {
     "q_gopher_quality" -> (qGopherQuality _),
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
+    "q_unicode_clean" -> (qUnicodeClean _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -297,5 +342,32 @@ object QualityQueries {
         |       min(avg_bits_r) AS min_bits_r,
         |       max(avg_bits_r) AS max_bits_r
         |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // Full reproduction of the unicode cleanup: the same messy suffix
+    // built from chr() codepoints, DuckDB's utf8proc NFC vs the JVM
+    // Normalizer (same Unicode algorithm), identical \x{..} regex classes
+    // (valid in Java regex AND RE2), explicit [ \t]+ whitespace collapse.
+    "q_unicode_clean" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         text || ' cafe' || chr(769) || ' na' || chr(776) || 'ive' || chr(160)
+        |              || 'mix' || chr(8203) || 'ed' || chr(1) || 'ctl  double' || chr(9) || 'spaced'
+        |              || CASE WHEN doc_id % 2 = 1
+        |                      THEN ' a' || chr(778) || 'ngstro' || chr(776) || 'm'
+        |                      ELSE '' END AS s0
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, s0, nfc_normalize(s0) AS s1 FROM a
+        |), c AS (
+        |  SELECT doc_id, length(s0)::BIGINT AS n_raw, length(s1)::BIGINT AS n_nfc,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(s1, '\x{a0}', ' ', 'g'),
+        |             '[\x{200b}\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+        |           '[ \t]+', ' ', 'g')) AS s5
+        |  FROM n
+        |)
+        |SELECT doc_id, n_raw, n_nfc, length(s5)::BIGINT AS n_clean, md5(s5) AS clean_md5
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

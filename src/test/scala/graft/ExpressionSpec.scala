@@ -40,6 +40,43 @@ class ExpressionSpec extends AnyFunSuite {
     assert(types == Seq("pdf", "html"))
   }
 
+  test("nfc_normalize: composes combining sequences, idempotent, codegen-safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // all non-ASCII built from codepoints so this source file stays ASCII
+    val combAcute = 0x0301.toChar.toString // combining acute
+    val combRing = 0x030A.toChar.toString  // combining ring above
+    val eAcute = 0x00E9.toChar.toString    // precomposed e-acute
+    val aRing = 0x00E5.toChar.toString     // precomposed a-ring
+    // e + U+0301 -> precomposed (5 codepoints -> 4); precomposed unchanged;
+    // ASCII untouched; a + U+030A -> a-ring
+    val df = spark.range(1).select(
+      GraftFunctions.nfc_normalize(lit("cafe" + combAcute)).as("a"),
+      GraftFunctions.nfc_normalize(lit("caf" + eAcute)).as("b"),
+      GraftFunctions.nfc_normalize(lit("plain ascii")).as("c"),
+      GraftFunctions.nfc_normalize(lit("a" + combRing)).as("d"),
+      length(GraftFunctions.nfc_normalize(lit("cafe" + combAcute))).as("la"),
+    )
+    val r = df.collect().head
+    assert(r.getString(0) == "caf" + eAcute)
+    assert(r.getString(1) == "caf" + eAcute)
+    assert(r.getString(2) == "plain ascii")
+    assert(r.getString(3) == aRing)
+    assert(r.getInt(4) == 4)
+    // SQL registration (combining diaeresis composes)
+    Seq(("na" + 0x0308.toChar + "ive", 1)).toDF("s", "i").createOrReplaceTempView("nfcv")
+    assert(spark.sql("SELECT nfc_normalize(s) AS t FROM nfcv").as[String].head()
+      == "n" + 0x00E4.toChar + "ive")
+    // codegen-only execution (Range source so nothing constant-folds away)
+    val dfc = spark.range(3)
+      .select(concat(lit("e" + combAcute + " x"), col("id").cast("string")).as("s"))
+      .select(GraftFunctions.nfc_normalize(col("s")).as("t"))
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try assert(dfc.as[String].collect().sorted.head == eAcute + " x0")
+    finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("expressions run inside WholeStageCodegen (no fallback)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -92,6 +92,40 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------- unicode clean
+
+  test("unicode clean: hand-computed codepoint counts and cleaned digests") {
+    import spark.implicits._
+    val d = Seq((2L, "abc"), (3L, "x")).toDF("doc_id", "text")
+    val out = QualityQueries.unicodeClean(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // suffix = 39 codepoints; NFC composes acute+diaeresis (-2); cleanup
+    // drops ZWSP + control and collapses the double space (-3)
+    val eAcute = 0x00E9.toChar
+    val aUmlaut = 0x00E4.toChar
+    val aRing = 0x00E5.toChar
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cleanEven = s"abc caf$eAcute n${aUmlaut}ive mixedctl double spaced"
+    assert(out(2L) == ((42L, 40L, 37L, md5hex(cleanEven))))
+    // odd doc adds ' a' + U+030A + 'ngstro' + U+0308 + 'm' (11 codepoints,
+    // NFC composes 2 more)
+    val cleanOdd = s"x caf$eAcute n${aUmlaut}ive mixedctl double spaced ${aRing}ngstr${0x00F6.toChar}m"
+    assert(out(3L) == ((51L, 47L, 44L, md5hex(cleanOdd))))
+  }
+
+  test("unicode clean: corpus run — NFC always shortens by the augmented composition count") {
+    val rows = QualityQueries.qUnicodeClean(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nRaw, nNfc, nClean) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expectedCompose = if (id % 2 == 1) 4 else 2
+      assert(nRaw - nNfc == expectedCompose, s"doc $id: raw $nRaw nfc $nNfc")
+      assert(nClean < nNfc)
+    }
+  }
+
   // ----------------------------------------------------------- ccnet buckets
 
   test("ccnet: hand-computed surprisal and tertile formula on a 3-doc corpus") {
