@@ -173,6 +173,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!postScan.contains("Exchange hashpartitioning(text"), "text must not shuffle")
   }
 
+  test("quality family: map-only queries read exactly (doc_id, text), no UDF") {
+    // gopher + unicode-clean are pure per-row pipelines: pruned scan,
+    // builtin kernels only (the native nfc_normalize expression is not a
+    // ScalaUDF), and no exchange beyond the presentation sort
+    for (df <- Seq(graft.queries.QualityQueries.qGopherQuality(spark, dir),
+                   graft.queries.QualityQueries.qUnicodeClean(spark, dir))) {
+      val plan = planOf(df)
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+      assert(!readSchema.contains("lang") && !readSchema.contains("source") &&
+        !readSchema.contains("n_chars"), s"over-read: $readSchema")
+      assert(!plan.contains("ScalaUDF"), s"UDF in a builtin-only pipeline:\n$plan")
+      assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+        s"per-row pipeline should not shuffle beyond the final sort:\n$plan")
+    }
+  }
+
+  test("pq ann: shortlist rejoin broadcasts, never a corpus-side shuffle join") {
+    val plan = planOf(graft.queries.TrainingDataQueries.qAnnPq(spark, dir))
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pq:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"shortlist rejoin must broadcast the <=40-row side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-shuffling join may appear in the pq plan:\n$plan")
+  }
+
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
     df.collect() // finalize THIS df's AQE plan (count() would re-plan)
