@@ -1,0 +1,264 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
+import java.time.Instant
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `spark.read.format("warc")` — a DataSource V2 reader for WARC files,
+  * the container format Common Crawl actually ships (ISO 28500: a
+  * sequence of `WARC/1.0` records, each a CRLF header block, a
+  * Content-Length-delimited payload, and a CRLF CRLF trailer; response
+  * records carry an HTTP message as payload). Emits the north-rule page
+  * shape directly: (url, warc_ts, record_type, content_type, html).
+  *
+  * Spark-native design:
+  *  - one FILE = one InputPartition: gzipped WARCs are not splittable,
+  *    and the crawl's own sharding (thousands of ~1 GB segment files) is
+  *    the parallelism unit at 100 TB — planInputPartitions lists files
+  *    only (names + sizes, no data IO on the driver);
+  *  - the reader is a STREAMING single-pass parse: it holds one record's
+  *    payload at a time, never a file buffer, so executor memory is
+  *    bounded by the largest single document, not the archive;
+  *  - multi-member gzip (the valid and common concatenated-member layout)
+  *    is handled by the JDK inflater transparently;
+  *  - column pruning is pushed into the reader
+  *    (SupportsPushDownRequiredColumns): `select(url)` never materializes
+  *    payload bytes into rows (they are still skipped over in the stream,
+  *    which is unavoidable in a length-delimited container);
+  *  - by default only `WARC-Type: response` records become rows (the
+  *    crawl-page semantics); `option("all_records", "true")` surfaces
+  *    warcinfo/request/metadata records too (url may then be null).
+  *
+  * HTTP payloads (`Content-Type: application/http*`) are split at the
+  * first CRLF CRLF: the entity body becomes `html`, and the HTTP
+  * Content-Type header (before any ';') becomes `content_type`. Non-HTTP
+  * payloads pass through whole with the record's own Content-Type. */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = WarcSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new WarcTable(WarcSource.pathsFrom(properties),
+      "true".equalsIgnoreCase(properties.getOrDefault("all_records", "false")))
+}
+
+object WarcSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("warc_ts", TimestampType, nullable = true),
+    StructField("record_type", StringType, nullable = false),
+    StructField("content_type", StringType, nullable = true),
+    StructField("html", BinaryType, nullable = true),
+  ))
+
+  /** `load(p)` passes "path"; `load(p1, p2, ...)` passes "paths" as a
+    * JSON array — accept both. */
+  private[sources] def pathsFrom(properties: java.util.Map[String, String]): Seq[String] = {
+    val multi = Option(properties.get("paths")).map { js =>
+      graft.core.Json.parse(js) match {
+        case l: List[_] => l.map(_.toString)
+        case other      => Seq(other.toString)
+      }
+    }.getOrElse(Seq.empty)
+    val single = Option(properties.get("path")).toSeq
+    val all = (multi ++ single).distinct
+    require(all.nonEmpty, "warc source requires a path (spark.read.format(\"warc\").load(dir))")
+    all
+  }
+
+  /** Driver-side file listing: globs then expands directories one level
+    * (a crawl segment directory of .warc/.warc.gz files). Names and
+    * sizes only — no record IO happens on the driver. */
+  private[sources] def listFiles(paths: Seq[String], conf: Configuration): Seq[String] = {
+    paths.flatMap { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      val matched: Seq[FileStatus] =
+        Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(_.isFile).map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }.filter { n =>
+      val base = n.substring(n.lastIndexOf('/') + 1)
+      !base.startsWith("_") && !base.startsWith(".")
+    }.sorted
+  }
+}
+
+private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean)
+    extends Table with SupportsRead {
+  override def name(): String = s"warc(${paths.mkString(",")})"
+  override def schema(): StructType = WarcSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WarcScanBuilder(paths, allRecords)
+}
+
+private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = WarcSource.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Catalyst hands back a subset of Schema in Schema's field order
+    required = requiredSchema
+  override def build(): Scan = new WarcScan(paths, required, allRecords)
+}
+
+private[sources] class WarcScan(paths: Seq[String], required: StructType, allRecords: Boolean)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = s"WarcScan(${paths.mkString(",")})"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    WarcSource.listFiles(paths, conf).map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames, allRecords)
+}
+
+private[sources] final case class WarcInputPartition(file: String) extends InputPartition
+
+private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Boolean)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields, allRecords)
+}
+
+/** Streaming record parser over one WARC file. Executor-side Hadoop
+  * config is the vanilla default (local/HDFS paths resolve; exotic
+  * filesystems would thread a serialized conf through the factory). */
+private[sources] class WarcPartitionReader(file: String, fields: Array[String], allRecords: Boolean)
+    extends PartitionReader[InternalRow] {
+
+  private val in: InputStream = {
+    val hp = new HPath(file)
+    val raw = hp.getFileSystem(new Configuration()).open(hp)
+    val buf = new BufferedInputStream(raw, 1 << 16)
+    if (file.endsWith(".gz")) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
+    else buf
+  }
+  private var current: InternalRow = _
+
+  /** One CRLF-terminated line as ISO-8859-1 (WARC headers are ASCII);
+    * null at EOF. */
+  private def readLine(): String = {
+    val bos = new ByteArrayOutputStream(96)
+    var b = in.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') { bos.write(b); b = in.read() }
+    val bytes = bos.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, "ISO-8859-1")
+  }
+
+  private def readFully(len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var off = 0
+    while (off < len) {
+      val n = in.read(out, off, len - off)
+      require(n >= 0, s"truncated WARC payload in $file (expected $len bytes, got $off)")
+      off += n
+    }
+    out
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      // skip inter-record blank lines, find the version line
+      var line = readLine()
+      while (line != null && line.isEmpty) line = readLine()
+      if (line == null) return false
+      require(line.startsWith("WARC/"), s"expected WARC version line in $file, got: $line")
+      // header block
+      var wtype: String = null
+      var uri: String = null
+      var date: String = null
+      var ctype: String = null
+      var clen: Int = -1
+      line = readLine()
+      while (line != null && line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val k = line.substring(0, i).trim.toLowerCase
+          val v = line.substring(i + 1).trim
+          k match {
+            case "warc-type"       => wtype = v
+            case "warc-target-uri" => uri = v
+            case "warc-date"       => date = v
+            case "content-type"    => ctype = v
+            case "content-length"  => clen = v.toInt
+            case _                 =>
+          }
+        }
+        line = readLine()
+      }
+      require(clen >= 0, s"WARC record without Content-Length in $file")
+      val payload = readFully(clen)
+      // record trailer: CRLF CRLF (tolerate a missing final trailer at EOF)
+      readLine(); readLine()
+
+      if (allRecords || wtype == "response") {
+        // HTTP payload: entity body after the first CRLF CRLF; the HTTP
+        // Content-Type (before ';') describes the body
+        var body = payload
+        var bodyType = ctype
+        if (ctype != null && ctype.startsWith("application/http")) {
+          val sep = indexOfCrlfCrlf(payload)
+          if (sep >= 0) {
+            val head = new String(payload, 0, sep, "ISO-8859-1")
+            body = java.util.Arrays.copyOfRange(payload, sep + 4, payload.length)
+            bodyType = head.linesIterator
+              .find(_.toLowerCase.startsWith("content-type:"))
+              .map(l => l.substring(l.indexOf(':') + 1).trim.takeWhile(_ != ';').trim)
+              .orNull
+          }
+        }
+        val micros: java.lang.Long =
+          if (date == null) null
+          else {
+            val inst = Instant.parse(date)
+            java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+          }
+        val values: Array[Any] = fields.map {
+          case "url"          => if (uri == null) null else UTF8String.fromString(uri)
+          case "warc_ts"      => micros
+          case "record_type"  => UTF8String.fromString(if (wtype == null) "" else wtype)
+          case "content_type" => if (bodyType == null) null else UTF8String.fromString(bodyType)
+          case "html"         => body
+          case other          => throw new IllegalArgumentException(s"unknown column $other")
+        }
+        current = new GenericInternalRow(values)
+        return true
+      }
+      // non-response record in default mode: continue scanning
+    }
+    false
+  }
+
+  private def indexOfCrlfCrlf(b: Array[Byte]): Int = {
+    var i = 0
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

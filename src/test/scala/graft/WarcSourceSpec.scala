@@ -1,0 +1,102 @@
+package graft
+
+import graft.gen.{CorpusGen, WarcGen}
+import graft.model.{ConversionOptions, Page}
+import graft.pipeline.ExtractKernel
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The WARC DataSource V2: byte-exact roundtrip through real .warc.gz
+  * files, warcinfo skipping, multi-member gzip, column pruning, and
+  * end-to-end byte-identity of extraction over WARC-read pages vs the
+  * in-memory originals. */
+class WarcSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  private def tempDir(tag: String): String =
+    Files.createTempDirectory(s"graft-warc-$tag-").toString
+
+  test("roundtrip: pages -> 3 gz files -> warc source, urls/ts/bytes exact") {
+    val pages = CorpusGen.pages(120)
+    val dir = tempDir("rt")
+    val files = WarcGen.writeFiles(dir, pages, perFile = 40, gzipped = true)
+    assert(files.length == 3)
+
+    val df = spark.read.format("warc").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("url", "warc_ts", "record_type", "content_type", "html"))
+    val rows = df.collect()
+    assert(rows.length == 120, "warcinfo leaders must be skipped by default")
+    assert(rows.forall(_.getString(2) == "response"))
+
+    // the corpus contains duplicate-crawl rows (same url, different ts),
+    // so compare as multisets of (url, ts, payload-sha, content_type)
+    def sha(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+    val got = rows.map(r => (r.getString(0), r.getTimestamp(1).getTime,
+      sha(r.getAs[Array[Byte]](4)), r.getString(3))).sorted.toSeq
+    val want = pages.map(p => (p.url, p.warc_ts.getTime, sha(p.html), "text/html")).sorted
+    assert(got == want)
+  }
+
+  test("all_records option surfaces the warcinfo leaders") {
+    val pages = CorpusGen.pages(10)
+    val dir = tempDir("all")
+    WarcGen.writeFiles(dir, pages, perFile = 5, gzipped = false)
+    val all = spark.read.format("warc").option("all_records", "true").load(dir).collect()
+    assert(all.count(_.getString(2) == "warcinfo") == 2)
+    assert(all.count(_.getString(2) == "response") == 10)
+  }
+
+  test("multi-member gzip: records from both members are read") {
+    val pages = CorpusGen.pages(30)
+    val dir = tempDir("mm")
+    val path = s"$dir/multi.warc.gz"
+    WarcGen.writeMultiMemberGz(path, pages.take(18), pages.drop(18))
+    val n = spark.read.format("warc").load(path).count()
+    assert(n == 30, s"multi-member gz must yield all records, got $n")
+  }
+
+  test("column pruning reaches the reader (url-only scan plans a pruned schema)") {
+    val pages = CorpusGen.pages(20)
+    val dir = tempDir("prune")
+    WarcGen.writeFiles(dir, pages, perFile = 20, gzipped = true)
+    val df = spark.read.format("warc").load(dir).select("url")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") || plan.contains("WarcScan"), plan)
+    // the scan's actual read schema is the pruned one
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("url"))
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == pages.map(_.url).sorted)
+  }
+
+  test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
+    val s = spark
+    import s.implicits._
+    val pages = CorpusGen.pages(64)
+    val dir = tempDir("e2e")
+    WarcGen.writeFiles(dir, pages, perFile = 16, gzipped = true)
+
+    val fromWarc = spark.read.format("warc").load(dir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit("").as("text"), lit("en").as("lang"))
+      .as[Page]
+    val viaWarc = ExtractKernel.extract(fromWarc, ConversionOptions())(spark)
+      .select("url", "status", "content").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+    val direct = ExtractKernel.extract(spark.createDataset(pages), ConversionOptions())(spark)
+      .select("url", "status", "content").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+
+    assert(viaWarc.keySet == direct.keySet)
+    viaWarc.foreach { case (url, (st, content)) =>
+      assert((st, content) == direct(url), s"extraction drift via WARC for $url")
+    }
+  }
+}
