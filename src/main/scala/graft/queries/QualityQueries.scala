@@ -199,6 +199,59 @@ object QualityQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- tokenizer-fit stats
+
+  /** Out-of-vocabulary rate per document against the corpus's own top-K
+    * word vocabulary (count desc, word asc tiebreak — the
+    * [[CurationQueries.qNbClassify]] feature-selection discipline): the
+    * stat a pipeline reads before sizing/training a tokenizer. Scale:
+    * the vocab is a distributed top-K collapsed to K rows (broadcast);
+    * token membership is a broadcast semi-join; the only corpus-sized
+    * shuffle is the per-doc aggregation. */
+  def qOovRate(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame =
+    oovRate(docs(spark, dir), vocabSize)
+
+  /** Core over any `(doc_id, text)` frame (QualitySpec). */
+  def oovRate(d: DataFrame, vocabSize: Int): DataFrame = {
+    val tok = d.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
+    val vocab = tok.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
+      .select(col("word"))
+    val hits = tok.join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in_vocab"))
+    val totals = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+    d.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"),
+        round(when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise((coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_in_vocab"), lit(0L)))
+            .cast("double") / col("n_tokens")), 4).as("oov_r"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Power-of-two histogram of per-document token counts — the
+    * sequence-length profile consulted before choosing a packing length:
+    * bucket = ⌊log2(n_tokens)⌋ via the integer `length(bin(n)) − 1`
+    * recipe both engines share ([[CurationQueries.qLmScore]]). One
+    * map-only per-row count, one ≤64-key aggregation. */
+  def qLengthHist(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(size(filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")))
+        .cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .select((length(bin(col("n_tokens"))) - 1).cast("int").as("bucket"), col("n_tokens"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
   // ---------------------------------------------------- perplexity buckets
 
   /** CCNet-style head/middle/tail perplexity buckets per language over
@@ -236,6 +289,8 @@ object QualityQueries {
     "q_repetition_stats" -> (qRepetitionStats _),
     "q_ccnet_buckets" -> (qCcnetBuckets _),
     "q_unicode_clean" -> (qUnicodeClean _),
+    "q_oov_rate" -> ((s: SparkSession, d: String) => qOovRate(s, d)),
+    "q_length_hist" -> (qLengthHist _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,5 +424,36 @@ object QualityQueries {
         |)
         |SELECT doc_id, n_raw, n_nfc, length(s5)::BIGINT AS n_clean, md5(s5) AS clean_md5
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same top-256 vocab discipline as q_nb_classify (count desc, word asc).
+    "q_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT word FROM (SELECT word, count(*) AS cnt FROM tok GROUP BY 1
+        |                    ORDER BY cnt DESC, word LIMIT 256)
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY 1
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_in FROM tok JOIN vocab USING (word) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |       (coalesce(n_tokens, 0) - coalesce(n_in, 0))::BIGINT AS n_oov,
+        |       round(CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+        |             ELSE (coalesce(n_tokens, 0) - coalesce(n_in, 0))::DOUBLE / n_tokens END, 4) AS oov_r
+        |FROM documents d LEFT JOIN totals USING (doc_id) LEFT JOIN hits USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_length_hist" ->
+      """WITH t AS (
+        |  SELECT len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT (length(bin(n_tokens)) - 1)::INT AS bucket, count(*)::BIGINT AS n_docs,
+        |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM t WHERE n_tokens > 0 GROUP BY 1 ORDER BY bucket""".stripMargin,
   )
 }

@@ -92,6 +92,33 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------------- tokenizer stats
+
+  test("oov: hand-computed against a 2-word vocab") {
+    import spark.implicits._
+    // counts: a=3, b/c/d=1 -> top-2 vocab (cnt desc, word asc) = {a, b}
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "d")).toDF("doc_id", "text")
+    val out = QualityQueries.oovRate(d, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 0L, 0.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("length hist: buckets are exact ilog2 ranges covering the whole corpus") {
+    val rows = QualityQueries.qLengthHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (bucket, n, lo, hi) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      total += n
+      assert(lo >= (1L << bucket) && hi < (1L << (bucket + 1)),
+        s"bucket $bucket bounds [$lo,$hi] outside [2^$bucket, 2^${bucket + 1})")
+    }
+    val corpusDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(total == corpusDocs, "histogram must cover every non-empty doc")
+  }
+
   // ---------------------------------------------------------- unicode clean
 
   test("unicode clean: hand-computed codepoint counts and cleaned digests") {
