@@ -51,7 +51,8 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new WarcTable(WarcSource.pathsFrom(properties),
-      "true".equalsIgnoreCase(properties.getOrDefault("all_records", "false")))
+      "true".equalsIgnoreCase(properties.getOrDefault("all_records", "false")),
+      "FAILFAST".equalsIgnoreCase(properties.getOrDefault("mode", "PERMISSIVE")))
 }
 
 object WarcSource {
@@ -99,26 +100,27 @@ object WarcSource {
   }
 }
 
-private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean)
+private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths, allRecords)
+    new WarcScanBuilder(paths, allRecords, failFast)
 }
 
-private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean)
+private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of Schema in Schema's field order
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required, allRecords)
+  override def build(): Scan = new WarcScan(paths, required, allRecords, failFast)
 }
 
-private[sources] class WarcScan(paths: Seq[String], required: StructType, allRecords: Boolean)
+private[sources] class WarcScan(paths: Seq[String], required: StructType,
+    allRecords: Boolean, failFast: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -128,21 +130,34 @@ private[sources] class WarcScan(paths: Seq[String], required: StructType, allRec
     WarcSource.listFiles(paths, conf).map(f => WarcInputPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required.fieldNames, allRecords)
+    new WarcReaderFactory(required.fieldNames, allRecords, failFast)
 }
 
 private[sources] final case class WarcInputPartition(file: String) extends InputPartition
 
-private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Boolean)
+private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Boolean,
+    failFast: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields, allRecords)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields,
+      allRecords, failFast)
 }
 
 /** Streaming record parser over one WARC file. Executor-side Hadoop
   * config is the vanilla default (local/HDFS paths resolve; exotic
-  * filesystems would thread a serialized conf through the factory). */
-private[sources] class WarcPartitionReader(file: String, fields: Array[String], allRecords: Boolean)
+  * filesystems would thread a serialized conf through the factory).
+  *
+  * Corruption semantics (`mode` option): once framing is wrong —
+  * non-WARC leading bytes, a record without Content-Length, a payload
+  * truncated mid-stream, or a broken compression stream — every byte
+  * after the fault is untrustworthy (the container is length-delimited;
+  * resync heuristics can fabricate records out of payload bytes). So
+  * PERMISSIVE (default) keeps every record parsed BEFORE the fault,
+  * logs the fault, and ends the partition — a 100 TB job loses the tail
+  * of one bad segment file, not the job; FAILFAST rethrows (the
+  * validation mode). */
+private[sources] class WarcPartitionReader(file: String, fields: Array[String],
+    allRecords: Boolean, failFast: Boolean)
     extends PartitionReader[InternalRow] {
 
   private val in: InputStream = {
@@ -177,7 +192,22 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String], 
     out
   }
 
-  override def next(): Boolean = {
+  private var parsed = 0L
+
+  override def next(): Boolean =
+    try {
+      val has = parseNext()
+      if (has) parsed += 1
+      has
+    } catch {
+      case e: Exception if !failFast =>
+        // tail-drop: framing is untrustworthy past the fault (see class doc)
+        System.err.println(
+          s"warc: dropping tail of $file after $parsed records: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        false
+    }
+
+  private def parseNext(): Boolean = {
     while (true) {
       // skip inter-record blank lines, find the version line
       var line = readLine()

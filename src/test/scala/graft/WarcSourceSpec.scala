@@ -75,6 +75,44 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == pages.map(_.url).sorted)
   }
 
+  test("corruption: permissive keeps the records before the fault, failfast throws") {
+    val pages = CorpusGen.pages(12)
+    val dir = tempDir("corrupt")
+    // whole-file bytes, then cut inside the 9th record's payload
+    val whole = WarcGen.warcBytes(pages, withWarcinfo = false)
+    val offsets = pages.scanLeft(0)((acc, p) => acc + WarcGen.responseRecord(p).length)
+    val cut = offsets(8) + WarcGen.responseRecord(pages(8)).length / 2
+    val fos = new java.io.FileOutputStream(s"$dir/trunc.warc")
+    try fos.write(whole, 0, cut) finally fos.close()
+
+    val permissive = spark.read.format("warc").load(s"$dir/trunc.warc").collect()
+    assert(permissive.length == 8, s"expected the 8 complete records, got ${permissive.length}")
+
+    val ex = intercept[Exception] {
+      spark.read.format("warc").option("mode", "FAILFAST").load(s"$dir/trunc.warc").count()
+    }
+    assert(ex.toString.contains("Exception"), ex.toString)
+  }
+
+  test("corruption: a garbage file yields zero rows in permissive mode") {
+    val dir = tempDir("garbage")
+    val fos = new java.io.FileOutputStream(s"$dir/junk.warc")
+    try fos.write(Array.tabulate[Byte](4096)(i => ((i * 131 + 7) % 251).toByte))
+    finally fos.close()
+    assert(spark.read.format("warc").load(s"$dir/junk.warc").count() == 0)
+  }
+
+  test("framing is length-delimited: payload containing fake WARC headers roundtrips") {
+    val dir = tempDir("fakehdr")
+    val evil = ("<html><body><pre>WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: 999999\r\n\r\n</pre></body></html>").getBytes("UTF-8")
+    val p = Page("https://evil.example/x.html", new java.sql.Timestamp(1735689600000L), evil, "", "en")
+    WarcGen.writeFiles(dir, Seq(p), perFile = 1, gzipped = true)
+    val rows = spark.read.format("warc").load(dir).collect()
+    assert(rows.length == 1)
+    assert(java.util.Arrays.equals(rows.head.getAs[Array[Byte]](4), evil))
+  }
+
   test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
     val s = spark
     import s.implicits._
