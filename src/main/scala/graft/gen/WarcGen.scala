@@ -68,12 +68,15 @@ object WarcGen {
   }
 
   /** Writes `pages` into `ceil(n/perFile)` files under `dir`
-    * (`part-NNN.warc` or `.warc.gz`). Returns the file paths. */
-  def writeFiles(dir: String, pages: Seq[Page], perFile: Int, gzipped: Boolean): Seq[String] = {
+    * (`part-NNN.warc` or `.warc.gz`, numbering from `startIndex` so
+    * successive calls emit monotonically-named segments — the crawl
+    * convention the streaming source relies on). Returns the paths. */
+  def writeFiles(dir: String, pages: Seq[Page], perFile: Int, gzipped: Boolean,
+      startIndex: Int = 0): Seq[String] = {
     Files.createDirectories(Paths.get(dir))
     pages.grouped(perFile).zipWithIndex.map { case (group, i) =>
       val ext = if (gzipped) ".warc.gz" else ".warc"
-      val path = s"$dir/part-${"%03d".format(i)}$ext"
+      val path = s"$dir/part-${"%03d".format(startIndex + i)}$ext"
       val bytes = warcBytes(group)
       val fos = new FileOutputStream(path)
       try fos.write(if (gzipped) gzip(bytes) else bytes)

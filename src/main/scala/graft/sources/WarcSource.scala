@@ -105,7 +105,7 @@ private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFa
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, allRecords, failFast)
 }
@@ -131,6 +131,85 @@ private[sources] class WarcScan(paths: Seq[String], required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames, allRecords, failFast)
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required.fieldNames, allRecords, failFast)
+}
+
+/** Offset = the lexicographic high-water mark of processed segment file
+  * names (plus a count for display). Crawls write monotonically-named
+  * segment files (part-00000, part-00001, …), so "everything ≤ mark is
+  * done" is a complete, COMPACT description of progress — the offset
+  * stays O(1) no matter how many files the directory accumulates
+  * (Spark's own FileStreamSource pays an ever-growing seen-file log for
+  * not assuming this). A late file sorting below the mark is skipped
+  * loudly (stderr), matching the documented monotonic-name contract. */
+private[sources] final case class WarcOffset(last: String, n: Long)
+    extends streaming.Offset {
+  override def json(): String =
+    s"""{"last":${graft.core.Json.quote(last)},"n":$n}"""
+}
+
+/** Micro-batch streaming over a growing directory of WARC segments:
+  * each trigger lists the paths (names + sizes only), takes every file
+  * whose name sorts ABOVE the committed high-water mark, and plans one
+  * partition per file — `readStream.format("warc")` is the crawl-side
+  * ingestion twin of the batch source, with exactly-once file-level
+  * replay from the checkpointed offset. */
+private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[String],
+    allRecords: Boolean, failFast: Boolean)
+    extends streaming.MicroBatchStream {
+
+  private def listing(): Seq[String] = {
+    val conf = org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+    WarcSource.listFiles(paths, conf)
+  }
+
+  // O(1) late-file detection: remember how many files sat at-or-below the
+  // committed mark; if that count ever GROWS, a file arrived with a name
+  // below the high-water mark (monotonic-name contract violation) and
+  // will never be read — warn loudly instead of silently dropping it.
+  private var committedMark: String = ""
+  private var belowMarkCount: Long = -1L
+
+  override def initialOffset(): streaming.Offset = WarcOffset("", 0L)
+
+  override def latestOffset(): streaming.Offset = {
+    val files = listing()
+    if (committedMark.nonEmpty) {
+      val below = files.count(_ <= committedMark).toLong
+      if (belowMarkCount >= 0 && below > belowMarkCount)
+        System.err.println(s"warc stream: ${below - belowMarkCount} file(s) appeared BELOW " +
+          s"the committed mark '$committedMark' — late non-monotonic names are never read")
+      belowMarkCount = below
+    }
+    if (files.isEmpty) WarcOffset("", 0L) else WarcOffset(files.max, files.length.toLong)
+  }
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    graft.core.Json.parse(json) match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        WarcOffset(mm("last").toString, mm("n").toString.toDouble.toLong)
+      case other => throw new IllegalArgumentException(s"bad warc offset: $other")
+    }
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WarcOffset].last
+    val hi = end.asInstanceOf[WarcOffset].last
+    listing().filter(f => f > lo && f <= hi)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(fields, allRecords, failFast)
+
+  override def commit(end: streaming.Offset): Unit = {
+    val mark = end.asInstanceOf[WarcOffset].last
+    if (mark != committedMark) { committedMark = mark; belowMarkCount = -1L }
+  }
+
+  override def stop(): Unit = ()
 }
 
 private[sources] final case class WarcInputPartition(file: String) extends InputPartition

@@ -113,6 +113,41 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rows.head.getAs[Array[Byte]](4), evil))
   }
 
+  test("streaming: growing segment directory, incremental batches, restart replays nothing") {
+    val pages = CorpusGen.pages(60)
+    val dir = tempDir("stream")
+    val cp = tempDir("stream-cp")
+    val out = tempDir("stream-out")
+    // segment 0 exists before the stream starts
+    WarcGen.writeFiles(dir, pages.take(20), perFile = 20, gzipped = true, startIndex = 0)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("warc").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+
+    runOnce()
+    assert(spark.read.parquet(out).count() == 20)
+
+    // two more segments arrive with monotonically-later names
+    WarcGen.writeFiles(dir, pages.slice(20, 45), perFile = 25, gzipped = true, startIndex = 1)
+    WarcGen.writeFiles(dir, pages.drop(45), perFile = 15, gzipped = false, startIndex = 2)
+    runOnce()
+    val n2 = spark.read.parquet(out).count()
+    assert(n2 == 60, s"delta batches must add exactly the new segments: $n2")
+
+    // restart with nothing new: the checkpointed high-water mark replays nothing
+    runOnce()
+    assert(spark.read.parquet(out).count() == 60, "restart must not re-ingest committed segments")
+    // every url arrived exactly once
+    assert(spark.read.parquet(out).select("url").distinct().count() ==
+      pages.map(_.url).distinct.size)
+  }
+
   test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
     val s = spark
     import s.implicits._
