@@ -101,6 +101,38 @@ object StreamingExtract extends Serializable {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** [[runToTable]] with the crawl container as the source: streaming
+    * WARC segments (`readStream.format("warc")` — delta-only file
+    * batches over the checkpointed high-water mark) → extraction kernel
+    * → exactly-once [[graft.table.LineageTable]] snapshots. The complete
+    * crawl-side pipeline in one call: segment files appear, only the new
+    * ones extract, every micro-batch is one atomic snapshot, a killed
+    * job resumes without re-extracting committed segments. */
+  def runWarcToTable(
+      spark: SparkSession,
+      warcDir: String,
+      table: graft.table.LineageTable,
+      checkpointDir: String,
+      options: ConversionOptions = ConversionOptions(),
+      streamRunId: String = "warc-stream",
+      availableNow: Boolean = true,
+  ): StreamingQuery = {
+    import spark.implicits._
+    val pages: Dataset[Page] = spark.readStream.format("warc").load(warcDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit("").as("text"), lit("en").as("lang"))
+      .as[Page]
+    val results = ExtractKernel.extract(pages, options)(spark).toDF()
+    val writer = results.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitStreamBatch(table, batch, streamRunId, batchId)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Commit one extracted micro-batch as a table snapshot. Returns false
     * (and writes nothing) when this (streamRunId, batchId) already
     * committed — the replay-after-crash path. Single-writer per table, as
