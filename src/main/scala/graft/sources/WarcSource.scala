@@ -101,13 +101,20 @@ object WarcSource {
 }
 
 private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths, allRecords, failFast)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
+    new WarcWriteBuilder(paths.head, info.schema())
+  }
 }
 
 private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
@@ -370,4 +377,124 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ------------------------------------------------------------- write side
+
+/** `df.write.format("warc").mode("append").save(dir)` — the sink twin of
+  * the reader, emitting the crawl's own container (one `.warc.gz` segment
+  * per partition). This is how a pipeline publishes WET-style conversion
+  * output: `record_type = "conversion"` rows carry the extracted text as
+  * the raw payload; `record_type = "response"` rows are wrapped in an
+  * HTTP/1.1 envelope (the reader's inverse).
+  *
+  * Commit protocol (the classic task-temp + driver-rename shape): every
+  * task writes `_tmp-<partition>-<taskId>.warc.gz` and reports it in its
+  * commit message; the DRIVER renames the winning attempt per partition
+  * to `part-<partition>.warc.gz` on job commit and deletes temps on
+  * abort — readers listing the directory (`_`-prefixed names are
+  * filtered by [[WarcSource.listFiles]]) never see a partial segment,
+  * and speculative duplicate attempts cannot double-publish. Input must
+  * carry the full read schema (url, warc_ts, record_type, content_type,
+  * html) — select/alias before writing. */
+private[sources] class WarcWriteBuilder(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write = new WarcWrite(dir, schema)
+}
+
+private[sources] final case class WarcCommitMessage(tmp: String, partition: Int, n: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class WarcWrite(dir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val idx = Seq("url", "warc_ts", "record_type", "content_type", "html").map { c =>
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"warc write needs column '$c' (got ${schema.fieldNames.mkString(",")})")
+      c -> i
+    }.toMap
+    new WarcWriterFactory(dir, idx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
+      val src = new HPath(m.tmp)
+      val dst = new HPath(s"$dir/part-${"%05d".format(m.partition)}.warc.gz")
+      val fs = src.getFileSystem(conf)
+      if (fs.exists(dst)) fs.delete(dst, false) // idempotent re-commit
+      require(fs.rename(src, dst), s"warc commit: rename $src -> $dst failed")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
+      val p = new HPath(m.tmp)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+}
+
+private[sources] class WarcWriterFactory(dir: String, idx: Map[String, Int])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new WarcDataWriter(dir, partitionId, taskId, idx)
+}
+
+private[sources] class WarcDataWriter(dir: String, partitionId: Int, taskId: Long,
+    idx: Map[String, Int])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+
+  private val tmpPath = s"$dir/_tmp-$partitionId-$taskId.warc.gz"
+  private var out: java.util.zip.GZIPOutputStream = _
+  private var n = 0L
+
+  private def ensureOpen(): Unit = if (out == null) {
+    val p = new HPath(tmpPath)
+    val fs = p.getFileSystem(new Configuration())
+    out = new java.util.zip.GZIPOutputStream(fs.create(p, true), 1 << 16)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val url = if (row.isNullAt(idx("url"))) "" else row.getUTF8String(idx("url")).toString
+    val micros = if (row.isNullAt(idx("warc_ts"))) 0L else row.getLong(idx("warc_ts"))
+    val ts = new java.sql.Timestamp(micros / 1000L)
+    val rtype =
+      if (row.isNullAt(idx("record_type"))) "conversion"
+      else row.getUTF8String(idx("record_type")).toString
+    val ctype =
+      if (row.isNullAt(idx("content_type"))) "text/plain"
+      else row.getUTF8String(idx("content_type")).toString
+    val body = if (row.isNullAt(idx("html"))) Array.emptyByteArray else row.getBinary(idx("html"))
+    val bytes =
+      if (rtype == "response")
+        graft.gen.WarcGen.record(rtype, url, ts, "application/http; msgtype=response",
+          graft.gen.WarcGen.httpPayload(body, ctype))
+      else graft.gen.WarcGen.record(rtype, url, ts, ctype, body)
+    out.write(bytes)
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    WarcCommitMessage(if (n > 0) tmpPath else "", partitionId, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    val p = new HPath(tmpPath)
+    val fs = p.getFileSystem(new Configuration())
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  override def close(): Unit = ()
 }

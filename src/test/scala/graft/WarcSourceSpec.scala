@@ -184,6 +184,50 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(fromTable == direct)
   }
 
+  test("write side: WET-style conversion records roundtrip sink -> reader") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("wet")
+    val ts = new java.sql.Timestamp(1735689600000L)
+    val docs = (0 until 20).map(i => (s"https://site$i.example/p$i", ts,
+      "conversion", "text/plain", s"extracted text body $i".getBytes("UTF-8")))
+    docs.toDF("url", "warc_ts", "record_type", "content_type", "html")
+      .repartition(3)
+      .write.format("warc").mode("append").save(dir)
+
+    // published segments are final names only (no _tmp leftovers; local-FS
+    // .crc checksum dot-files are invisible to the reader's listing)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.forall(f => f.startsWith("part-") && f.endsWith(".warc.gz")), files.mkString(","))
+
+    // conversion records are not "response": default read mode sees none
+    assert(spark.read.format("warc").load(dir).count() == 0)
+    val back = spark.read.format("warc").option("all_records", "true").load(dir).collect()
+    assert(back.length == 20)
+    val got = back.map(r => (r.getString(0), new String(r.getAs[Array[Byte]](4), "UTF-8"),
+      r.getString(2), r.getString(3), r.getTimestamp(1).getTime)).sorted.toSeq
+    val want = docs.map(d => (d._1, new String(d._5, "UTF-8"), d._3, d._4, ts.getTime)).sorted
+    assert(got == want)
+  }
+
+  test("write side: response records written by the sink read back as pages") {
+    val s = spark
+    import s.implicits._
+    val pages = CorpusGen.pages(15)
+    val dir = tempDir("wrt-resp")
+    pages.map(p => (p.url, p.warc_ts, "response", "text/html", p.html))
+      .toDF("url", "warc_ts", "record_type", "content_type", "html")
+      .write.format("warc").mode("append").save(dir)
+    val back = spark.read.format("warc").load(dir).collect()
+    assert(back.length == 15)
+    def sha(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
+    val got = back.map(r => (r.getString(0), sha(r.getAs[Array[Byte]](4)))).sorted.toSeq
+    val want = pages.map(p => (p.url, sha(p.html))).sorted
+    assert(got == want)
+  }
+
   test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
     val s = spark
     import s.implicits._
