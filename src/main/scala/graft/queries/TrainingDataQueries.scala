@@ -1168,6 +1168,51 @@ object TrainingDataQueries {
       .agg(sum(col("tf") * col("idf")).as("score"), count(lit(1)).as("n_terms_hit"))
   }
 
+  /** Okapi BM25 ranking (Robertson et al.; k1 = 1.2, b = 0.75) over the
+    * same query terms as [[qKeywordSearch]] — the canonical
+    * length-normalized retrieval scorer, made cross-engine exact:
+    *
+    *  - idf stays in the integer-log2 discipline
+    *    (`length(bin(N·1024 div df)) − 1`, the [[qKeywordSearch]] rule);
+    *  - each term's saturation factor is ONE double expression with the
+    *    parenthesization mirrored verbatim in the oracle SQL (IEEE
+    *    +,·,/ are exactly rounded, so identical inputs + identical
+    *    shape ⇒ identical doubles), then quantized to integer
+    *    micro-units via floor(x·10⁶ + 0.5);
+    *  - the per-doc score is a SUM OF LONGS — order-independent, so
+    *    partition-order nondeterminism cannot flip the hash.
+    *
+    * 100 TB shape: identical to keyword search — only query-term
+    * postings leave the scan; dl/avgdl are one count-agg; idf is a
+    * ≤|query|-row broadcast; top-k is TakeOrderedAndProject. */
+  def qBm25(spark: SparkSession, dir: String,
+            query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
+            k: Int = 20): DataFrame = {
+    val d = docs(spark, dir)
+    val words = d.select(col("doc_id"),
+      filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("wl"))
+    val dl = words.select(col("doc_id"), size(col("wl")).cast("long").as("dl"))
+    val n = d.count()
+    val sumDl = dl.agg(sum(col("dl"))).collect()(0).getLong(0) // 1-row agg
+    val avgdl = sumDl.toDouble / n
+    val tf = words.select(col("doc_id"), explode(col("wl")).as("word"))
+      .where(col("word").isin(query: _*))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
+    val term = tf.join(broadcast(idf), "word").join(dl, "doc_id")
+      .withColumn("tq", floor(
+        col("idf").cast("double") * (col("tf").cast("double") * lit(2.2d)) /
+          (col("tf").cast("double") + lit(1.2d) *
+            (lit(0.25d) + lit(0.75d) * (col("dl").cast("double") / lit(avgdl))))
+          * 1000000d + 0.5d).cast("long"))
+    term.groupBy(col("doc_id"))
+      .agg(sum(col("tq")).as("score_q"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .limit(k)
+      .orderBy(col("doc_id"))
+  }
+
   /** Hybrid retrieval — reciprocal-rank fusion (Cormack et al. 2009) of the
     * SPARSE keyword ranking and the DENSE embedding ranking, the standard
     * two-tower serving shape of an LLM data/retrieval stack. Each leg
@@ -1275,6 +1320,36 @@ object TrainingDataQueries {
         |SELECT doc_id, sum(tf * idf)::BIGINT AS score, count(*)::BIGINT AS n_terms_hit
         |FROM tf JOIN idf USING (word)
         |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // BM25 reproduced in SQL: the same integer-log2 idf, the saturation
+    // factor with the Spark side's EXACT parenthesization and explicit
+    // ::DOUBLE casts (IEEE ops are exactly rounded, so shape + inputs =>
+    // identical doubles), per-term micro-unit quantization, long sums.
+    "q_bm25" ->
+      """WITH q AS (SELECT unnest(['hash','join','stream','window','vector']) AS word),
+        |w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), dl AS (SELECT doc_id, len(wl)::BIGINT AS dl FROM w),
+        |st AS (SELECT sum(dl)::DOUBLE / count(*) AS avgdl, count(*) AS n FROM dl),
+        |tok AS (SELECT doc_id, unnest(wl) AS word FROM w),
+        |tf AS (
+        |  SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok JOIN q USING (word) GROUP BY 1, 2
+        |), idf AS (
+        |  SELECT word, (length(bin(((SELECT n FROM st) * 1024) // df)) - 1)::BIGINT AS idf
+        |  FROM (SELECT word, count(*) AS df FROM tf GROUP BY 1)
+        |), term AS (
+        |  SELECT tf.doc_id,
+        |         floor(idf::DOUBLE * (tf::DOUBLE * 2.2::DOUBLE) /
+        |               (tf::DOUBLE + 1.2::DOUBLE *
+        |                 (0.25::DOUBLE + 0.75::DOUBLE * (dl.dl::DOUBLE / (SELECT avgdl FROM st))))
+        |               * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS tq
+        |  FROM tf JOIN idf USING (word) JOIN dl ON dl.doc_id = tf.doc_id
+        |)
+        |SELECT doc_id, score_q, n_terms_hit FROM (
+        |  SELECT doc_id, sum(tq)::BIGINT AS score_q, count(*)::BIGINT AS n_terms_hit
+        |  FROM term GROUP BY 1 ORDER BY score_q DESC, doc_id LIMIT 20
+        |) ORDER BY doc_id""".stripMargin,
 
     // RRF fusion reproduced in SQL: the keyword-score CTEs and the
     // quantized-cosine dense leg, each ranked top-50 with the same
@@ -1767,6 +1842,7 @@ object TrainingDataQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_keyword_search" -> ((s: SparkSession, d: String) => qKeywordSearch(s, d)),
+    "q_bm25" -> ((s: SparkSession, d: String) => qBm25(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => qHybridSearch(s, d)),
   )
 }

@@ -26,4 +26,36 @@ class KeywordSearchSpec extends AnyFunSuite {
     assert(ids.forall(id =>
       texts(id).toLowerCase.split("\\s+").exists(terms.contains)))
   }
+
+  test("bm25: scalar reference on the corpus — same formula, same micro-quantization") {
+    val rows = TrainingDataQueries.qBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // scalar recomputation over the raw corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      .toMap
+    val n = docs.size.toLong
+    val dl = docs.map { case (id, ws) => id -> ws.length.toLong }
+    val avgdl = dl.values.sum.toDouble / n
+    val tf: Map[(Long, String), Long] = docs.toSeq.flatMap { case (id, ws) =>
+      ws.filter(terms.contains).groupBy(identity).map { case (w, g) => (id, w) -> g.length.toLong }
+    }.toMap
+    val df = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    def ilog2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    val idf = df.map { case (w, d) => w -> ilog2(n * 1024L / d) }
+    val want = tf.toSeq.map { case ((id, w), f) =>
+      val t = idf(w).toDouble * (f.toDouble * 2.2d) /
+        (f.toDouble + 1.2d * (0.25d + 0.75d * (dl(id).toDouble / avgdl)))
+      id -> math.floor(t * 1000000d + 0.5d).toLong
+    }.groupBy(_._1).map { case (id, ts) => (id, ts.map(_._2).sum, ts.size.toLong) }
+      .toSeq.sortBy { case (id, s, _) => (-s, id) }.take(20).sortBy(_._1)
+    assert(rows.toSeq == want, s"\ngot  ${rows.toSeq}\nwant $want")
+    // length normalization is live: a doc's bm25 per-term score saturates
+    // (score_q strictly below idf * (k1+1) * 1e6 * n_terms upper bound)
+    rows.foreach { case (_, s, hits) =>
+      assert(s < hits * (10L * 2200000L), "saturation bound violated")
+    }
+  }
 }
