@@ -168,6 +168,46 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled mixture sampling — the EXECUTABLE form of
+    * [[qMixWeights]]'s up/down-weighting (Raffel et al. 2020 §3.4.2 /
+    * multilingual p^α sampling), at α = 0.5 so the only transcendental is
+    * `sqrt`, which IEEE 754 requires to be EXACTLY rounded — unlike
+    * `pow`, whose last-ulp behavior is libm-specific and would break the
+    * cross-engine hash. Per source s with token count tok_s, the
+    * acceptance rate is r_s = sqrt(tok_min / tok_s): the α = 0.5
+    * adjustment normalized so the smallest source keeps everything
+    * (computed as ONE double expression from exact integer token counts,
+    * mirrored verbatim in the oracle). A document is kept iff
+    * md5(doc_id) mod 10⁶ < floor(r_s · 10⁶ + 0.5) — the deterministic
+    * md5-mod acceptance of [[qSampleStratified]].
+    *
+    * 100 TB shape: token counts are one map-side-combined aggregation;
+    * the per-source rate table is sources-sized and broadcast; the keep
+    * decision is per-row. */
+  def qTemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val toks = d.select(col("source"),
+      size(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
+    // sources are ~20 rows: the min is a 1-row agg, the rate table broadcasts
+    val tokMin = toks.agg(min(col("tok_s"))).collect()(0).getLong(0)
+    val rates = toks.withColumn("rate_q",
+      floor(sqrt(lit(tokMin.toDouble) / col("tok_s").cast("double")) * 1000000d + 0.5d)
+        .cast("long"))
+    val md5ModUdf = udf((id: Long) =>
+      java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), 1000000L))
+    d.join(broadcast(rates), "source")
+      .select(col("source"), col("tok_s"), col("rate_q"),
+        (md5ModUdf(col("doc_id")) < col("rate_q")).as("kept"), col("doc_id"))
+      .groupBy(col("source"), col("tok_s"), col("rate_q"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"),
+      )
+      .orderBy(col("source"))
+  }
+
   // ---------------------------------------------------- substring dedup
 
   /** The 64-char/stride-16 window digests of each document, shared by the
@@ -1027,6 +1067,30 @@ object CurationQueries {
         |FROM documents d LEFT JOIN hit USING (doc_id)
         |WHERE d.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
 
+    // Temperature sampling reproduced in SQL: exact integer token counts,
+    // sqrt (IEEE exactly rounded — the reason alpha is 0.5, not 0.3) of
+    // the same tok_min/tok_s double division, micro-unit rate, md5-mod
+    // acceptance.
+    "q_temperature_sample" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         sum(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')))::BIGINT AS tok_s
+        |  FROM documents GROUP BY 1
+        |), mn AS (SELECT min(tok_s) AS tok_min FROM t),
+        |r AS (
+        |  SELECT source, tok_s,
+        |         floor(sqrt((SELECT tok_min FROM mn)::DOUBLE / tok_s::DOUBLE) * 1000000::DOUBLE + 0.5::DOUBLE)::BIGINT AS rate_q
+        |  FROM t
+        |)
+        |SELECT d.source, r.tok_s, r.rate_q,
+        |       count(*)::BIGINT AS n_total,
+        |       sum(CASE WHEN md5_number_lower(d.doc_id::VARCHAR) % 1000000 < r.rate_q
+        |                THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |       sum(CASE WHEN md5_number_lower(d.doc_id::VARCHAR) % 1000000 < r.rate_q
+        |                THEN d.doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+        |FROM documents d JOIN r USING (source)
+        |GROUP BY 1, 2, 3 ORDER BY d.source""".stripMargin,
+
     "q_sample_stratified" ->
       """WITH base AS (
         |  SELECT doc_id, source, substr(source, 4)::INT AS tier,
@@ -1125,6 +1189,7 @@ object CurationQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_temperature_sample" -> (qTemperatureSample _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),

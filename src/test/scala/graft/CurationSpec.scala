@@ -350,4 +350,21 @@ class CurationSpec extends AnyFunSuite {
     assert(all.forall(u => !u.contains("www.") && !u.contains("utm_") && !u.contains("ref=tw")))
     assert(all.forall(u => !u.drop(8).contains("//")))
   }
+
+  test("temperature sample: smallest source keeps all, rates follow sqrt(tok_min/tok_s)") {
+    val rows = CurationQueries.qTemperatureSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val tokMin = rows.map(_._2).min
+    rows.foreach { case (src, tokS, rateQ, nTotal, nKept) =>
+      val want = math.floor(math.sqrt(tokMin.toDouble / tokS.toDouble) * 1000000d + 0.5d).toLong
+      assert(rateQ == want, s"$src: rate $rateQ != scalar $want")
+      assert(nKept <= nTotal)
+      // the smallest source's rate is exactly 1.0 -> every doc kept
+      if (tokS == tokMin) assert(rateQ == 1000000L && nKept == nTotal, s"$src must keep all")
+    }
+    // bigger sources never get a higher rate
+    val sorted = rows.sortBy(_._2)
+    assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted.reverse))
+  }
 }
