@@ -22,17 +22,36 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> str:
+    # DRIVER-STRICT (round 5, VERDICT r4 #2): no whole-float -> int
+    # coercion. The driver stringifies values as-is, so an engine that
+    # returns 2628.0 where the other returns 2628 MUST fail here too —
+    # the r4 q_hits red row shipped precisely because the old canon()
+    # masked that drift locally.
     df = df.reindex(sorted(df.columns), axis=1)
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            return repr(float(v))  # float(...) strips numpy-2 repr noise
         return str(v)
     rows = sorted("\x01".join(cell(v) for v in row) for row in df.itertuples(index=False, name=None))
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def dtype_clash(exp: pd.DataFrame, got: pd.DataFrame):
+    """Return (fatal, warnings): float-vs-int column kind mismatches are
+    FATAL (the driver's hash will diverge on any whole value); int-width
+    (int32/int64) gaps stringify identically and pass; unsigned-vs-signed
+    is a warning (equal only while values stay in the signed range)."""
+    fatal, warns = [], []
+    for c in exp.columns:
+        ke, kg = exp[c].dtype.kind, got[c].dtype.kind
+        ints = {"i", "u"}
+        if (ke == "f" and kg in ints) or (kg == "f" and ke in ints):
+            fatal.append(f"{c}: oracle {exp[c].dtype} vs spark {got[c].dtype}")
+        elif {ke, kg} == ints:
+            warns.append(f"{c}: oracle {exp[c].dtype} vs spark {got[c].dtype}")
+    return fatal, warns
 
 
 def main():
@@ -60,6 +79,13 @@ def main():
                 continue
             if len(exp) != len(got):
                 print(f"FAIL {name}: rows {len(exp)} vs {len(got)}")
+                n_bad += 1
+                continue
+            fatal, warns = dtype_clash(exp, got)
+            for w in warns:
+                print(f"warn {name}: signedness gap {w}")
+            if fatal:
+                print(f"FAIL {name}: float-vs-int dtype clash: {'; '.join(fatal)}")
                 n_bad += 1
                 continue
             he, hg = canon(exp), canon(got)

@@ -89,8 +89,9 @@ object Bench {
     // showed 4-5x variance from ambient host contention that steal ticks
     // don't capture; 160k amortizes it AND shares ScalingBench's cached
     // corpus dir, so the headline is directly comparable to the scaling
-    // legs.
-    val nPages = 160000
+    // legs. SPARK_GRAFT_BENCH_PAGES is a local smoke-test knob only — the
+    // driver sets no such env, so its runs stay at the comparable 160k.
+    val nPages = sys.env.get("SPARK_GRAFT_BENCH_PAGES").map(_.toInt).getOrElse(160000)
     // headline: wrapped so a failure here cannot discard the per-query
     // timings already collected — the ONE JSON line always prints
     val headline: Option[(Double, Boolean)] =
@@ -122,7 +123,7 @@ object Bench {
           extractExtra += 1
         }
         spark2.stop()
-        // headline_clean: whether the accepted measurement came from a
+        // steal_quiet: whether the accepted measurement came from a
         // steal-clean window. When false (sustained storm outlasted all 6
         // backoff retries) the number is host noise, not engine speed.
         val hc = extractRuns.exists(clean)
@@ -135,7 +136,7 @@ object Bench {
     // committed baseline resource (bench-clean-best.txt — updated together
     // with BENCH.md's accepted-bests table, so a stale hardcoded constant
     // can't mis-describe a future clean run; VERDICT r3 #4), with an env
-    // escape hatch for ad-hoc comparisons. headline_clean only certifies
+    // escape hatch for ad-hoc comparisons. steal_quiet only certifies
     // the steal counter was quiet — co-tenant MEMORY-BANDWIDTH contention
     // doesn't tick steal and has measured 4-5x swings on this host; the
     // explicit ratio vs the clean best makes a depressed-but-steal-quiet
@@ -163,10 +164,16 @@ object Bench {
         }
       fromEnv.orElse(fromResource).filter(_ > 0).getOrElse(-1.0)
     }
-    val (extractSec, headlineClean) = headline.getOrElse((-1.0, false))
+    val (extractSec, stealQuiet) = headline.getOrElse((-1.0, false))
     val pagesPerSec = if (extractSec > 0) nPages / extractSec else -1.0
     val vsCleanBest =
       if (pagesPerSec > 0 && cleanBestPrior > 0) pagesPerSec / cleanBestPrior else -1.0
+    // headline_valid (VERDICT r4 #4): steal_quiet alone mislabels a
+    // 20x-depressed run as "clean" — steal ticks don't see co-tenant
+    // memory-bandwidth contention. Valid = the steal counter was quiet AND
+    // the number lands within 85% of the methodology-accepted clean best;
+    // anything else is host noise, machine-readably so.
+    val headlineValid = stealQuiet && vsCleanBest >= 0.85
     val stealDelta = stealTicks() - steal0
 
     // Locale.ROOT formatting (the default-locale f"" interpolator would
@@ -180,20 +187,41 @@ object Bench {
       case c if c < ' ' => String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, (v, _)) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
-    // per-query storm self-description: false = every window for that query
-    // was steal-contaminated, so its number is host noise, not engine speed.
-    // FAILED queries are omitted (not false): a crash is a queries_failed
-    // fact, not a storm fact — conflating them would let a persistent
-    // failure read as transient host noise
-    val qc = results.filter(_._2._1 >= 0)
-      .map { case (k, (_, c)) => esc(k) + ":" + c }.mkString("{", ",", "}")
-    // failed queries (-1 sentinel) are EXCLUDED from the total (summing
-    // them deflates it) and surfaced as a count instead
+    // VERDICT r4 #5: the driver's artifact capture keeps only the LAST
+    // 2000 chars of stdout (BENCH_r04's tail starts mid-line and includes
+    // ~85 chars of sbt epilogue), so a name-keyed map over ~90 queries
+    // (~2 KB alone) can NEVER survive it. The line is therefore compacted
+    // to fit whole (≤ ~1900 chars) so the driver's JSON parse succeeds
+    // end-to-end:
+    //  - "q_ms": integer-millisecond timings for EVERY query, as an array
+    //    aligned to the SORTED query-name order (the same order as the
+    //    CORRECTNESS_r{N}.json keys; results is already name-sorted).
+    //    -1 = query failed.
+    //  - "q_clean": one char per query in the same order — '1' clean
+    //    window, '0' every window steal-contaminated (host noise, not a
+    //    regression), 'x' failed (a queries_failed fact, kept distinct
+    //    from a storm fact).
+    //  - "q_names_crc": CRC32 of the sorted names joined with ',' so a
+    //    reader can verify its name list aligns.
+    //  - "queries": the contract-shaped name->seconds map, kept for the
+    //    25 SLOWEST queries only (the round-over-round comparison set);
+    //    the full fidelity lives in q_ms.
     val ok = results.map(_._2._1).filter(_ >= 0)
     val total = ok.sum
     val failed = results.size - ok.size
+    val qMs = results.map { case (_, (v, _)) =>
+      if (v < 0) "-1" else math.round(v * 1000).toString
+    }.mkString("[", ",", "]")
+    val qClean = results.map { case (_, (v, c)) =>
+      if (v < 0) 'x' else if (c) '1' else '0'
+    }.mkString
+    val crc = new java.util.zip.CRC32
+    crc.update(results.map(_._1).mkString(",").getBytes("UTF-8"))
+    val namesCrc = String.format(java.util.Locale.ROOT, "%08x", Long.box(crc.getValue))
+    val qs = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(25)
+      .sortBy(_._1)
+      .map { case (k, (v, _)) => esc(k) + ":" + num(v, 3) }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"queries_clean":$qc,"queries_failed":$failed,"sf":${esc(sfDir)},"extract_pages":$nPages,"extract_sec":${num(extractSec, 3)},"extract_pages_per_sec":${num(pagesPerSec, 1)},"headline_clean":$headlineClean,"clean_best_prior_pages_per_sec":${num(cleanBestPrior, 1)},"headline_vs_clean_best":${num(vsCleanBest, 3)},"cpus":$cpus,"host_steal_ticks":$stealDelta}""")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries_failed":$failed,"sf":${esc(sfDir)},"extract_pages":$nPages,"extract_sec":${num(extractSec, 3)},"extract_pages_per_sec":${num(pagesPerSec, 1)},"steal_quiet":$stealQuiet,"headline_valid":$headlineValid,"clean_best_prior_pages_per_sec":${num(cleanBestPrior, 1)},"headline_vs_clean_best":${num(vsCleanBest, 3)},"cpus":$cpus,"host_steal_ticks":$stealDelta,"q_names_crc":"$namesCrc","q_clean":"$qClean","q_ms":$qMs,"queries":$qs}""")
   }
 }

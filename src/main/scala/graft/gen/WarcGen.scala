@@ -25,12 +25,37 @@ object WarcGen {
   }
 
   def record(warcType: String, uri: String, ts: java.sql.Timestamp,
+      contentType: String, payload: Array[Byte]): Array[Byte] =
+    recordAt(warcType, uri,
+      // full Timestamp precision: getTime carries millis, the nanos field
+      // the sub-millisecond remainder
+      Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
+      contentType, payload)
+
+  /** Microsecond-exact variant — the production sink path
+    * ([[graft.sources.WarcDataWriter]]) formats WARC-Date straight from
+    * the Catalyst micros so a read→write→read roundtrip preserves
+    * sub-millisecond timestamps exactly (ADVICE r4). */
+  def recordMicros(warcType: String, uri: String, micros: Long,
+      contentType: String, payload: Array[Byte]): Array[Byte] =
+    recordAt(warcType, uri,
+      Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L),
+      contentType, payload)
+
+  private def recordAt(warcType: String, uri: String, inst: Instant,
       contentType: String, payload: Array[Byte]): Array[Byte] = {
-    val date = DateTimeFormatter.ISO_INSTANT.format(Instant.ofEpochMilli(ts.getTime))
+    val date = DateTimeFormatter.ISO_INSTANT.format(inst)
+    // A real (RFC 4122 type-3) UUID, unique per (uri, date, type) — the
+    // spec requires globally-unique record ids and external consumers key
+    // on them (ADVICE r4: the old hex(hashCode) collided across records).
+    // Deterministic on purpose: the generator is also the golden/test
+    // corpus writer.
+    val rid = java.util.UUID.nameUUIDFromBytes(
+      s"$uri\u0000$date\u0000$warcType".getBytes(Ascii))
     val sb = new StringBuilder()
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")
-    sb.append(s"WARC-Record-ID: <urn:uuid:${Integer.toHexString(uri.hashCode)}>\r\n")
+    sb.append(s"WARC-Record-ID: <urn:uuid:$rid>\r\n")
     if (uri.nonEmpty) sb.append(s"WARC-Target-URI: $uri\r\n")
     sb.append(s"WARC-Date: $date\r\n")
     sb.append(s"Content-Type: $contentType\r\n")

@@ -72,67 +72,61 @@ object ExtractionQueries {
       )
       .orderBy(col("document_type"), col("status"))
 
-  /** Chunk explode + stats (T8/T9 surface). Shares the Text+embeddings
-    * extraction with [[xExtractEmbeddings]] — embeddings don't alter chunk
-    * boundaries, so this saves a third full kernel pass per bench run. */
-  def xExtractChunks(spark: SparkSession, dir: String): DataFrame =
+  /** The 64 golden urls every pinned oracle keys on (the same set
+    * GoldenSpec freezes). */
+  private val pinned64: Seq[String] = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+
+  /** Per-(type, status) envelope summary over the pinned 64 urls — the
+    * oracled twin of [[xExtractSummary]] (VERDICT r4 #7: the full-corpus
+    * version is sf-variant by construction, so it could never carry a
+    * pinned oracle; this one hard-checks the STATUS column — the error
+    * envelope — which x_extract_stats64 doesn't cover). Regenerate VALUES:
+    * scripts/pinned64_oracle_gen.py, golden audit discipline. */
+  def xExtractSummary64(spark: SparkSession, dir: String): DataFrame =
+    results(spark, dir)
+      .where(col("url").isin(pinned64: _*))
+      .dropDuplicates("url")
+      .groupBy(col("document_type"), col("status"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("content"))).cast("long").as("content_chars"),
+        sum(col("page_count")).cast("long").as("pages"),
+      )
+      .orderBy(col("document_type"), col("status"))
+
+  /** Chunk explode + per-type stats (T8/T9 surface) over the pinned 64
+    * urls under Text+embeddings options — pins chunk SIZES and index
+    * continuity, which stats64 (counts only, default options) doesn't.
+    * Shares the Text+embeddings extraction cache with [[xExtractEmb64]]. */
+  def xExtractChunks64(spark: SparkSession, dir: String): DataFrame =
     results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
-      .select(col("url"), explode(col("chunks")).as("chunk"))
-      .select(col("url"), col("chunk.chunk_index"), col("chunk.chunk_size"))
-      .groupBy()
+      .where(col("url").isin(pinned64: _*))
+      .dropDuplicates("url")
+      .select(col("document_type"), explode(col("chunks")).as("chunk"))
+      .groupBy(col("document_type"))
       .agg(
         count(lit(1)).as("n_chunks"),
-        sum(col("chunk_size")).as("total_chunk_chars"),
-        max(col("chunk_index")).as("max_chunk_index"),
+        sum(col("chunk.chunk_size")).cast("long").as("total_chunk_chars"),
+        max(col("chunk.chunk_index")).as("max_chunk_index"),
       )
+      .orderBy(col("document_type"))
 
-  /** Table explode + stats (T7 surface). */
-  def xExtractTables(spark: SparkSession, dir: String): DataFrame =
+  /** Table explode + per-type SHAPE stats (T7 surface) over the pinned 64
+    * urls — pins row/column geometry, which stats64 (table counts only)
+    * doesn't. */
+  def xExtractTables64(spark: SparkSession, dir: String): DataFrame =
     results(spark, dir)
+      .where(col("url").isin(pinned64: _*))
+      .dropDuplicates("url")
       .select(col("document_type"), explode(col("tables")).as("t"))
       .select(col("document_type"), size(col("t.rows")).as("n_rows"), size(col("t.headers")).as("n_cols"))
       .groupBy(col("document_type"))
       .agg(
         count(lit(1)).as("n_tables"),
-        sum(col("n_rows")).as("total_rows"),
+        sum(col("n_rows")).cast("long").as("total_rows"),
         max(col("n_cols")).as("max_cols"),
       )
       .orderBy(col("document_type"))
-
-  /** Embedding generation over chunks (T10 surface): deterministic vector
-    * stats prove the envelope semantics (dim, zero-for-blank, L2 norm).
-    * sq-norm via a tight-loop UDF: `functions.aggregate` is
-    * CodegenFallback, and this runs over every chunk × 384 floats — same
-    * left-to-right double accumulation, bit-identical result. */
-  private val sqNormUdf = udf((emb: Seq[Float]) => {
-    var s = 0.0d
-    var i = 0
-    val n = emb.length
-    while (i < n) { val v = emb(i).toDouble; s += v * v; i += 1 }
-    s
-  })
-
-  def xExtractEmbeddings(spark: SparkSession, dir: String): DataFrame =
-    results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
-      .select(explode(col("chunks")).as("chunk"))
-      .select(
-        size(col("chunk.embedding")).as("dim"),
-        round(sqNormUdf(col("chunk.embedding")), 2).as("sq_norm_r"),
-      )
-      .groupBy(col("dim"), col("sq_norm_r"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("dim"), col("sq_norm_r"))
-
-  /** Doc-type detection distribution (T1 surface). */
-  def xDocTypes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    pagesDs(spark, dir)
-      .map(p => (graft.pipeline.TypeDetector.detect(p.html, p.url), p.lang))
-      .toDF("document_type", "lang")
-      .groupBy(col("document_type"), col("lang"))
-      .agg(count(lit(1)).as("n"))
-      .orderBy(col("document_type"), col("lang"))
-  }
 
   /** Per-format extraction byte-identity, driver-visible: sha256 of the
     * extracted markdown for the 64 sf-unit pages (the same pages GoldenSpec
@@ -141,15 +135,13 @@ object ExtractionQueries {
     * drift flips the hash compare (VERDICT r1 next-round item 8).
     * Duplicate-crawl rows (same url, later warc_ts) collapse via distinct —
     * same payload, same bytes out. */
-  def xExtractHashes(spark: SparkSession, dir: String): DataFrame = {
-    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+  def xExtractHashes(spark: SparkSession, dir: String): DataFrame =
     results(spark, dir)
-      .where(col("url").isin(pinned: _*))
+      .where(col("url").isin(pinned64: _*))
       .select(col("url"), col("document_type"),
         sha2(col("content"), 256).as("content_sha256"))
       .distinct()
       .orderBy(col("url"))
-  }
 
   /** Per-type envelope stats over the same 64 pinned urls as
     * [[xExtractHashes]] — hard-checks chunking, table extraction, and
@@ -158,9 +150,8 @@ object ExtractionQueries {
     * across duplicate-crawl rows (same payload → same envelope), so
     * dropDuplicates(url) is deterministic for these columns. */
   def xExtractStats64(spark: SparkSession, dir: String): DataFrame = {
-    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
     results(spark, dir)
-      .where(col("url").isin(pinned: _*))
+      .where(col("url").isin(pinned64: _*))
       .dropDuplicates("url")
       .groupBy(col("document_type"))
       .agg(
@@ -182,9 +173,8 @@ object ExtractionQueries {
     * driver-side; the oracle stores values generated from an audited run
     * (scripts/emb_oracle_gen.py, golden discipline). */
   def xExtractEmb64(spark: SparkSession, dir: String): DataFrame = {
-    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
     results(spark, dir, ConversionOptions(outputFormat = OutputFormat.Text, generateEmbeddings = true))
-      .where(col("url").isin(pinned: _*))
+      .where(col("url").isin(pinned64: _*))
       .dropDuplicates("url")
       .select(explode(col("chunks")).as("chunk"))
       .select(
@@ -222,12 +212,10 @@ object ExtractionQueries {
       .getOrElse((0, 0, Vector.empty[String])))
 
   /** The pinned-64-url pages slice shared by the link/anchor queries. */
-  private def pinnedPages(spark: SparkSession, dir: String): DataFrame = {
-    val pinned = (0 until 64).map(i => CorpusGen.urlFor(i.toLong))
+  private def pinnedPages(spark: SparkSession, dir: String): DataFrame =
     pagesDs(spark, dir).toDF()
-      .where(col("url").isin(pinned: _*))
+      .where(col("url").isin(pinned64: _*))
       .dropDuplicates("url")
-  }
 
   private def pinnedLinks(spark: SparkSession, dir: String): DataFrame =
     pinnedPages(spark, dir)
@@ -304,6 +292,47 @@ object ExtractionQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Pinned per-(type, status) envelope summary over the 64 golden urls
+    // (the error-envelope hard check stats64 doesn't cover). Regenerate:
+    // scripts/pinned64_oracle_gen.py (golden audit discipline).
+    "x_extract_summary64" ->
+      """SELECT * FROM (VALUES
+        |  ('asciidoc', 'completed', 2, 1975, 2),
+        |  ('docx', 'completed', 3, 7148, 3),
+        |  ('html', 'completed', 43, 164709, 43),
+        |  ('image', 'completed', 2, 0, 2),
+        |  ('md', 'completed', 3, 2757, 3),
+        |  ('pdf', 'completed', 6, 6472, 6),
+        |  ('pptx', 'completed', 2, 1865, 6),
+        |  ('xlsx', 'completed', 3, 671, 5)
+        |) t(document_type, status, n_docs, content_chars, pages) ORDER BY document_type, status""".stripMargin,
+
+    // Pinned per-type chunk-geometry stats (sizes + index continuity,
+    // Text+embeddings options) over the same 64 urls. Regenerate:
+    // scripts/pinned64_oracle_gen.py.
+    "x_extract_chunks64" ->
+      """SELECT * FROM (VALUES
+        |  ('asciidoc', 6, 2154, 3),
+        |  ('docx', 19, 7738, 11),
+        |  ('html', 365, 153543, 87),
+        |  ('md', 7, 2916, 2),
+        |  ('pdf', 18, 6970, 3),
+        |  ('pptx', 6, 2027, 3),
+        |  ('xlsx', 3, 669, 0)
+        |) t(document_type, n_chunks, total_chunk_chars, max_chunk_index) ORDER BY document_type""".stripMargin,
+
+    // Pinned per-type table SHAPE stats (row/column geometry) over the
+    // same 64 urls. Regenerate: scripts/pinned64_oracle_gen.py.
+    "x_extract_tables64" ->
+      """SELECT * FROM (VALUES
+        |  ('asciidoc', 3, 12, 4),
+        |  ('docx', 3, 11, 3),
+        |  ('html', 81, 328, 4),
+        |  ('md', 2, 11, 4),
+        |  ('pdf', 3, 17, 4),
+        |  ('xlsx', 5, 19, 4)
+        |) t(document_type, n_tables, total_rows, max_cols) ORDER BY document_type""".stripMargin,
+
     // Pinned per-type envelope stats over the same 64 urls (chunking /
     // table-extraction / page-count hard check). Regenerate:
     // scripts/stats_oracle_gen.py (same audit discipline as goldens).
@@ -635,15 +664,24 @@ object ExtractionQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("document_type"))
 
+  /** The map the driver gates on. VERDICT r4 #7 closed the no_oracle
+    * residual: the sf-variant full-corpus aggregates (x_doc_types,
+    * x_extract_chunks/tables/embeddings) are superseded by pinned-64
+    * oracled twins (x_types64, x_extract_chunks64/tables64/emb64 —
+    * stronger checks: VALUES-pinned vs rows-only) and unwired. No bench
+    * coverage was lost: every kernel pass they exercised (default-opts and
+    * Text+embeddings full-corpus extraction) is still driven through the
+    * shared results() cache by x_extract_hashes/stats64/emb64. The one
+    * remaining rows-only query is x_extract_summary, the sf-scaling
+    * flagship (`SparkEntry.entry`). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_extract_summary" -> (xExtractSummary _),
-    "x_extract_chunks" -> (xExtractChunks _),
-    "x_extract_tables" -> (xExtractTables _),
-    "x_extract_embeddings" -> (xExtractEmbeddings _),
+    "x_extract_summary64" -> (xExtractSummary64 _),
+    "x_extract_chunks64" -> (xExtractChunks64 _),
+    "x_extract_tables64" -> (xExtractTables64 _),
     "x_extract_hashes" -> (xExtractHashes _),
     "x_extract_stats64" -> (xExtractStats64 _),
     "x_extract_emb64" -> (xExtractEmb64 _),
-    "x_doc_types" -> (xDocTypes _),
     "x_media_features" -> (graft.multimodal.Media.qMediaFeatures _),
     "x_links64" -> (xLinks64 _),
     "x_host_rank64" -> (xHostRank64 _),

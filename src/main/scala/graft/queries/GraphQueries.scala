@@ -248,7 +248,7 @@ object GraphQueries {
   private def hitsOracle(iters: Int): String = {
     def halfCte(outName: String, prevName: String, joinFrom: String, joinTo: String): String =
       s"""$outName AS (
-         |  SELECT node, (v * $HScale) // greatest(sum(v) OVER (), 1) AS sc
+         |  SELECT node, ((v * $HScale) // greatest(sum(v) OVER (), 1))::BIGINT AS sc
          |  FROM (
          |    SELECT nodes.u AS node, coalesce(c.v, 0) AS v
          |    FROM nodes LEFT JOIN (

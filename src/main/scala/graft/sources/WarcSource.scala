@@ -52,10 +52,23 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table =
     new WarcTable(WarcSource.pathsFrom(properties),
       "true".equalsIgnoreCase(properties.getOrDefault("all_records", "false")),
-      "FAILFAST".equalsIgnoreCase(properties.getOrDefault("mode", "PERMISSIVE")))
+      "FAILFAST".equalsIgnoreCase(properties.getOrDefault("mode", "PERMISSIVE")),
+      // clamped: a byte[] physically caps at ~Int.MaxValue, so a larger
+      // user value would overflow readFully's allocation
+      Option(properties.get("max_record_bytes")).map(_.toLong)
+        .getOrElse(WarcSource.DefaultMaxRecordBytes)
+        .min(WarcSource.DefaultMaxRecordBytes))
 }
 
 object WarcSource {
+  /** Records with a larger Content-Length are stream-SKIPPED (framing
+    * stays exact) instead of materialized — a JVM byte[] caps at
+    * ~Int.MaxValue anyway, and ADVICE r4 flagged that a ≥ 2 GiB record
+    * must not tail-drop the rest of the file. Overridable per read via
+    * `option("max_record_bytes", n)` (which is also how the spec tests
+    * the skip path without writing gigabytes). */
+  val DefaultMaxRecordBytes: Long = Int.MaxValue - 8L
+
   val Schema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = true),
     StructField("warc_ts", TimestampType, nullable = true),
@@ -100,7 +113,8 @@ object WarcSource {
   }
 }
 
-private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
+private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFast: Boolean,
+    maxRecordBytes: Long)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"warc(${paths.mkString(",")})"
@@ -109,7 +123,7 @@ private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFa
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(paths, allRecords, failFast)
+    new WarcScanBuilder(paths, allRecords, failFast, maxRecordBytes)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
     require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
@@ -117,17 +131,18 @@ private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFa
   }
 }
 
-private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean, failFast: Boolean)
+private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean, failFast: Boolean,
+    maxRecordBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Catalyst hands back a subset of Schema in Schema's field order
     required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required, allRecords, failFast)
+  override def build(): Scan = new WarcScan(paths, required, allRecords, failFast, maxRecordBytes)
 }
 
 private[sources] class WarcScan(paths: Seq[String], required: StructType,
-    allRecords: Boolean, failFast: Boolean)
+    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -137,9 +152,9 @@ private[sources] class WarcScan(paths: Seq[String], required: StructType,
     WarcSource.listFiles(paths, conf).map(f => WarcInputPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required.fieldNames, allRecords, failFast)
+    new WarcReaderFactory(required.fieldNames, allRecords, failFast, maxRecordBytes)
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required.fieldNames, allRecords, failFast)
+    new WarcMicroBatchStream(paths, required.fieldNames, allRecords, failFast, maxRecordBytes)
 }
 
 /** Offset = the lexicographic high-water mark of processed segment file
@@ -163,7 +178,7 @@ private[sources] final case class WarcOffset(last: String, n: Long)
   * ingestion twin of the batch source, with exactly-once file-level
   * replay from the checkpointed offset. */
 private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[String],
-    allRecords: Boolean, failFast: Boolean)
+    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
     extends streaming.MicroBatchStream {
 
   private def listing(): Seq[String] = {
@@ -209,7 +224,7 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[St
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(fields, allRecords, failFast)
+    new WarcReaderFactory(fields, allRecords, failFast, maxRecordBytes)
 
   override def commit(end: streaming.Offset): Unit = {
     val mark = end.asInstanceOf[WarcOffset].last
@@ -222,11 +237,11 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[St
 private[sources] final case class WarcInputPartition(file: String) extends InputPartition
 
 private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Boolean,
-    failFast: Boolean)
+    failFast: Boolean, maxRecordBytes: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields,
-      allRecords, failFast)
+      allRecords, failFast, maxRecordBytes)
 }
 
 /** Streaming record parser over one WARC file. Executor-side Hadoop
@@ -243,7 +258,7 @@ private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Bool
   * of one bad segment file, not the job; FAILFAST rethrows (the
   * validation mode). */
 private[sources] class WarcPartitionReader(file: String, fields: Array[String],
-    allRecords: Boolean, failFast: Boolean)
+    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
     extends PartitionReader[InternalRow] {
 
   private val in: InputStream = {
@@ -278,6 +293,25 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
     out
   }
 
+  /** Skip exactly `len` payload bytes without materializing them — used
+    * for records that won't be emitted (wrong type), for pruned reads
+    * that need no payload column, and for oversized records
+    * (> `maxRecordBytes`, ADVICE r4: a ≥ 2 GiB Content-Length must not
+    * kill the whole file tail). Framing stays trustworthy because the
+    * skip is length-exact. */
+  private def skipFully(len: Long): Unit = {
+    var left = len
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else {
+        val b = in.read()
+        require(b >= 0, s"truncated WARC payload in $file (skip, $left bytes left)")
+        left -= 1
+      }
+    }
+  }
+
   private var parsed = 0L
 
   override def next(): Boolean =
@@ -286,7 +320,16 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
       if (has) parsed += 1
       has
     } catch {
-      case e: Exception if !failFast =>
+      // PERMISSIVE tolerates CORRUPTION only — parse/framing faults
+      // (failed require, bad Content-Length, bad WARC-Date, gzip stream
+      // damage, unexpected EOF). A transient I/O error (HDFS/network blip
+      // mid-file) must PROPAGATE so Spark fails and retries the task;
+      // swallowing it here would silently drop the file tail (ADVICE r4).
+      // NumberFormatException is an IllegalArgumentException subclass.
+      case e @ (_: IllegalArgumentException
+                | _: java.time.format.DateTimeParseException
+                | _: java.util.zip.ZipException
+                | _: java.io.EOFException) if !failFast =>
         // tail-drop: framing is untrustworthy past the fault (see class doc)
         System.err.println(
           s"warc: dropping tail of $file after $parsed records: ${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -305,7 +348,7 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
       var uri: String = null
       var date: String = null
       var ctype: String = null
-      var clen: Int = -1
+      var clen: Long = -1L
       line = readLine()
       while (line != null && line.nonEmpty) {
         val i = line.indexOf(':')
@@ -317,18 +360,60 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
             case "warc-target-uri" => uri = v
             case "warc-date"       => date = v
             case "content-type"    => ctype = v
-            case "content-length"  => clen = v.toInt
+            // Long, not Int (ADVICE r4): a ≥ 2 GiB record must parse so
+            // it can be SKIPPED below instead of NumberFormatException
+            // tail-dropping the rest of the file
+            case "content-length"  => clen = v.toLong
             case _                 =>
           }
         }
         line = readLine()
       }
       require(clen >= 0, s"WARC record without Content-Length in $file")
-      val payload = readFully(clen)
-      // record trailer: CRLF CRLF (tolerate a missing final trailer at EOF)
-      readLine(); readLine()
+      val emit = allRecords || wtype == "response"
+      // payload bytes are needed only when the row will be emitted AND a
+      // payload-derived column survived pruning (html, or content_type —
+      // which for HTTP records lives in the payload's header block);
+      // otherwise stream-skip (select(url) over a 100 TB crawl never
+      // allocates a document buffer)
+      val needPayload = emit &&
+        (fields.contains("html") || (fields.contains("content_type") &&
+          ctype != null && ctype.startsWith("application/http")))
+      // oversized drop is independent of projection — count(*) and
+      // select(html) must agree on the row set
+      if (emit && clen > maxRecordBytes) {
+        // oversized: drop THIS record loudly, keep the file (ADVICE r4 —
+        // the old v.toInt path tail-dropped everything after it)
+        System.err.println(
+          s"warc: skipping oversized record ($clen bytes > max $maxRecordBytes) at $uri in $file")
+        skipFully(clen)
+        readLine(); readLine()
+      } else if (!needPayload) {
+        skipFully(clen)
+        readLine(); readLine()
+        if (emit) {
+          val micros: java.lang.Long =
+            if (date == null) null
+            else {
+              val inst = Instant.parse(date)
+              java.lang.Long.valueOf(inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+            }
+          val values: Array[Any] = fields.map {
+            case "url"          => if (uri == null) null else UTF8String.fromString(uri)
+            case "warc_ts"      => micros
+            case "record_type"  => UTF8String.fromString(if (wtype == null) "" else wtype)
+            case "content_type" => if (ctype == null) null else UTF8String.fromString(ctype)
+            case "html"         => Array.emptyByteArray
+            case other          => throw new IllegalArgumentException(s"unknown column $other")
+          }
+          current = new GenericInternalRow(values)
+          return true
+        }
+      } else {
+        val payload = readFully(clen.toInt)
+        // record trailer: CRLF CRLF (tolerate a missing final trailer at EOF)
+        readLine(); readLine()
 
-      if (allRecords || wtype == "response") {
         // HTTP payload: entity body after the first CRLF CRLF; the HTTP
         // Content-Type (before ';') describes the body
         var body = payload
@@ -389,14 +474,20 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
   * HTTP/1.1 envelope (the reader's inverse).
   *
   * Commit protocol (the classic task-temp + driver-rename shape): every
-  * task writes `_tmp-<partition>-<taskId>.warc.gz` and reports it in its
-  * commit message; the DRIVER renames the winning attempt per partition
-  * to `part-<partition>.warc.gz` on job commit and deletes temps on
-  * abort — readers listing the directory (`_`-prefixed names are
-  * filtered by [[WarcSource.listFiles]]) never see a partial segment,
-  * and speculative duplicate attempts cannot double-publish. Input must
-  * carry the full read schema (url, warc_ts, record_type, content_type,
-  * html) — select/alias before writing. */
+  * task writes `_tmp-<jobUid>-<partition>-<taskId>.warc.gz` and reports
+  * it in its commit message; the DRIVER renames the winning attempt per
+  * partition to `part-<partition>-<jobUid>.warc.gz` on job commit and
+  * deletes temps on abort — readers listing the directory (`_`-prefixed
+  * names are filtered by [[WarcSource.listFiles]]) never see a partial
+  * segment, and speculative duplicate attempts cannot double-publish.
+  * `jobUid` is a random UUID fragment chosen once per write job (ADVICE
+  * r4: fixed `part-<partition>` names made a second `append` silently
+  * CLOBBER the first append's segments whenever partition ids collided —
+  * append semantics were overwrite with data loss). Same-job re-commit
+  * stays idempotent (the uid is stable within the job, rename replaces
+  * the same name); distinct jobs can never collide. Input must carry the
+  * full read schema (url, warc_ts, record_type, content_type, html) —
+  * select/alias before writing. */
 private[sources] class WarcWriteBuilder(dir: String, schema: StructType)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   override def build(): org.apache.spark.sql.connector.write.Write = new WarcWrite(dir, schema)
@@ -410,6 +501,11 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
+  // chosen once on the DRIVER at write-job construction; serialized into
+  // the factory so tasks name temps consistently (see class doc: this is
+  // what makes mode("append") actually append)
+  private val jobUid: String = java.util.UUID.randomUUID().toString.substring(0, 8)
+
   override def toBatch: BatchWrite = this
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -418,16 +514,18 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
       require(i >= 0, s"warc write needs column '$c' (got ${schema.fieldNames.mkString(",")})")
       c -> i
     }.toMap
-    new WarcWriterFactory(dir, idx)
+    new WarcWriterFactory(dir, jobUid, idx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
       val src = new HPath(m.tmp)
-      val dst = new HPath(s"$dir/part-${"%05d".format(m.partition)}.warc.gz")
+      val dst = new HPath(s"$dir/part-${"%05d".format(m.partition)}-$jobUid.warc.gz")
       val fs = src.getFileSystem(conf)
-      if (fs.exists(dst)) fs.delete(dst, false) // idempotent re-commit
+      // same-job idempotent re-commit only: the uid makes cross-job
+      // collision impossible, so an existing dst can only be this job's
+      if (fs.exists(dst)) fs.delete(dst, false)
       require(fs.rename(src, dst), s"warc commit: rename $src -> $dst failed")
     }
   }
@@ -442,18 +540,18 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
   }
 }
 
-private[sources] class WarcWriterFactory(dir: String, idx: Map[String, Int])
+private[sources] class WarcWriterFactory(dir: String, jobUid: String, idx: Map[String, Int])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(dir, partitionId, taskId, idx)
+    new WarcDataWriter(dir, jobUid, partitionId, taskId, idx)
 }
 
-private[sources] class WarcDataWriter(dir: String, partitionId: Int, taskId: Long,
+private[sources] class WarcDataWriter(dir: String, jobUid: String, partitionId: Int, taskId: Long,
     idx: Map[String, Int])
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
-  private val tmpPath = s"$dir/_tmp-$partitionId-$taskId.warc.gz"
+  private val tmpPath = s"$dir/_tmp-$jobUid-$partitionId-$taskId.warc.gz"
   private var out: java.util.zip.GZIPOutputStream = _
   private var n = 0L
 
@@ -467,7 +565,6 @@ private[sources] class WarcDataWriter(dir: String, partitionId: Int, taskId: Lon
     ensureOpen()
     val url = if (row.isNullAt(idx("url"))) "" else row.getUTF8String(idx("url")).toString
     val micros = if (row.isNullAt(idx("warc_ts"))) 0L else row.getLong(idx("warc_ts"))
-    val ts = new java.sql.Timestamp(micros / 1000L)
     val rtype =
       if (row.isNullAt(idx("record_type"))) "conversion"
       else row.getUTF8String(idx("record_type")).toString
@@ -475,11 +572,14 @@ private[sources] class WarcDataWriter(dir: String, partitionId: Int, taskId: Lon
       if (row.isNullAt(idx("content_type"))) "text/plain"
       else row.getUTF8String(idx("content_type")).toString
     val body = if (row.isNullAt(idx("html"))) Array.emptyByteArray else row.getBinary(idx("html"))
+    // recordMicros, not record(Timestamp): WARC-Date formats straight
+    // from the Catalyst micros so read→write→read is timestamp-exact
+    // even below millisecond precision (ADVICE r4)
     val bytes =
       if (rtype == "response")
-        graft.gen.WarcGen.record(rtype, url, ts, "application/http; msgtype=response",
+        graft.gen.WarcGen.recordMicros(rtype, url, micros, "application/http; msgtype=response",
           graft.gen.WarcGen.httpPayload(body, ctype))
-      else graft.gen.WarcGen.record(rtype, url, ts, ctype, body)
+      else graft.gen.WarcGen.recordMicros(rtype, url, micros, ctype, body)
     out.write(bytes)
     n += 1
   }

@@ -68,17 +68,34 @@ object ScalingBench {
       last
     }
 
-    val reps = (0 until 4).map { r =>
+    val nReps = 6
+    val reps = (0 until nReps).map { r =>
       val (a, sa) = measureClean(nSmall)
       val (b, sb) = measureClean(nBig)
-      println(f"rep=$r secN=$a%.2f (steal $sa) sec4N=$b%.2f (steal $sb)")
+      println(f"rep=$r secN=$a%.2f (steal $sa) sec4N=$b%.2f (steal $sb) pairEff=${(a / b) / 4.0}%.3f")
       (a, b)
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    // VERDICT r4 #6: min-of-clean per leg makes the ratio hostage to one
+    // pristine narrow-leg window (ambient memory-bandwidth contention
+    // doesn't tick steal, so "clean" legs still vary ~15%). Report THREE
+    // estimators:
+    //  - efficiency_min: legacy min-per-leg (comparable to prior rounds);
+    //  - efficiency_median: median-per-leg — robust to one lucky window;
+    //  - efficiency_paired_median: median of per-rep ratios — each rep's
+    //    legs ran back-to-back inside the same ambient-contention regime,
+    //    so slow-drifting co-tenant load cancels instead of skewing one
+    //    leg. This is the headline estimator for BENCH.md acceptance.
     val secN = reps.map(_._1).min
     val sec4N = reps.map(_._2).min
     val thrN = nPages / secN
     val thr4N = nPages / sec4N
-    val eff = (thr4N / thrN) / 4.0
-    println(f"""{"scaling":{"n_pages":$nPages,"cores_n":$nSmall,"sec_n":$secN%.2f,"pages_per_sec_n":$thrN%.1f,"cores_4n":$nBig,"sec_4n":$sec4N%.2f,"pages_per_sec_4n":$thr4N%.1f,"efficiency":$eff%.3f}}""")
+    val effMin = (thr4N / thrN) / 4.0
+    val effMed = (median(reps.map(_._1)) / median(reps.map(_._2))) / 4.0
+    val effPaired = median(reps.map { case (a, b) => (a / b) / 4.0 })
+    println(f"""{"scaling":{"n_pages":$nPages,"cores_n":$nSmall,"sec_n":$secN%.2f,"pages_per_sec_n":$thrN%.1f,"cores_4n":$nBig,"sec_4n":$sec4N%.2f,"pages_per_sec_4n":$thr4N%.1f,"efficiency":$effMin%.3f,"efficiency_median":$effMed%.3f,"efficiency_paired_median":$effPaired%.3f,"reps":$nReps}}""")
   }
 }

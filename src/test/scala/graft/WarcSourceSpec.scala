@@ -228,6 +228,82 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("write side: two appends to one directory keep BOTH jobs' segments (ADVICE r4)") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("app2")
+    val ts = new java.sql.Timestamp(1735689600000L)
+    def write(lo: Int, hi: Int): Unit =
+      (lo until hi).map(i => (s"https://a$i.example/", ts, "conversion", "text/plain",
+        s"body $i".getBytes("UTF-8")))
+        .toDF("url", "warc_ts", "record_type", "content_type", "html")
+        .repartition(2) // same partition ids both jobs — the old fixed names collided
+        .write.format("warc").mode("append").save(dir)
+    write(0, 10)
+    write(10, 25)
+    val back = spark.read.format("warc").option("all_records", "true").load(dir)
+      .select("url").as[String].collect().sorted.toSeq
+    assert(back == (0 until 25).map(i => s"https://a$i.example/").sorted,
+      s"second append must not clobber the first (got ${back.length} rows)")
+    // and the published names are job-unique part files
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+    assert(names.length == 4, names.mkString(","))
+    assert(names.forall(_.matches("part-\\d{5}-[0-9a-f]{8}\\.warc\\.gz")), names.mkString(","))
+  }
+
+  test("write side: sub-millisecond timestamps roundtrip exactly (ADVICE r4)") {
+    val s = spark
+    import s.implicits._
+    val dir = tempDir("micros")
+    // 123 µs past the millisecond — the old Timestamp path truncated this
+    val micros = 1735689600000123L
+    Seq(("https://m.example/", new java.sql.Timestamp(0), "conversion", "text/plain",
+      "x".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "record_type", "content_type", "html")
+      .withColumn("warc_ts", timestamp_micros(lit(micros)))
+      .write.format("warc").mode("append").save(dir)
+    val back = spark.read.format("warc").option("all_records", "true").load(dir)
+      .select(unix_micros(col("warc_ts"))).as[Long].head()
+    assert(back == micros, s"micros must survive the sink: wrote $micros, read $back")
+  }
+
+  test("oversized record is skipped alone; the rest of the file survives (ADVICE r4)") {
+    val pages = CorpusGen.pages(9)
+    val dir = tempDir("big")
+    WarcGen.writeFiles(dir, pages, perFile = 9, gzipped = true)
+    // every generated page payload is well over 64 bytes, so ALL records
+    // exceed the cap...
+    val none = spark.read.format("warc").option("max_record_bytes", "64").load(dir).count()
+    assert(none == 0)
+    // ...while a cap above the largest record admits everything — and in
+    // neither case does an oversized record tail-drop its successors
+    val sizes = pages.map(p => WarcGen.httpPayload(p.html, "text/html").length)
+    val cap = sizes.max
+    val mixed = spark.read.format("warc").option("max_record_bytes", cap.toString)
+      .load(dir).count()
+    assert(mixed == 9L)
+    val allButLargest = spark.read.format("warc")
+      .option("max_record_bytes", (cap - 1).toString).load(dir).count()
+    assert(allButLargest == (9 - sizes.count(_ == cap)).toLong,
+      "records after an oversized one must still be read")
+  }
+
+  test("pruned read without payload columns skips payload bytes but keeps rows exact") {
+    val pages = CorpusGen.pages(40)
+    val dir = tempDir("prune")
+    WarcGen.writeFiles(dir, pages, perFile = 10, gzipped = true)
+    val got = spark.read.format("warc").load(dir)
+      .select("url", "record_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got == pages.map(p => (p.url, "response")).sorted)
+    // content_type for HTTP records lives IN the payload — asking for it
+    // must still parse the payload head, not return the envelope type
+    val ct = spark.read.format("warc").load(dir)
+      .select("content_type").distinct().collect().map(_.getString(0)).toSeq
+    assert(ct == Seq("text/html"))
+  }
+
   test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
     val s = spark
     import s.implicits._
