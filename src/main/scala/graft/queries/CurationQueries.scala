@@ -889,7 +889,97 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- DSIR data selection
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): rank raw documents by how much more likely their
+    * hashed n-gram features are under a TARGET distribution than under
+    * the RAW distribution, keep the top-k. Target here = the `src0`
+    * slice (the stand-in for the paper's trusted corpus — Wikipedia/
+    * books); raw = the whole corpus.
+    *
+    * Cross-engine-exact formulation (the ilog2 discipline of [[qLmScore]]
+    * / [[qNbClassify]]): features are unigrams hashed into B=1024 buckets
+    * via md5 (DuckDB `md5_number_lower` ≡ [[graft.core.DuckHash]]); per
+    * bucket the smoothed log-likelihood-ratio weight is
+    *   lw(b) = ilog2((c_t(b)+1)·2³⁰ ÷ (T_t+B)) − ilog2((c_r(b)+1)·2³⁰ ÷ (T_r+B))
+    * and a document's importance is Σ_b tf(b)·lw(b), reported per token
+    * (one rounded double division — IEEE-identical in both engines). The
+    * deterministic executable selection is top-k by (avg weight desc,
+    * doc_id); the paper's stochastic Gumbel-top-k resample is the md5-mod
+    * acceptance of [[qTemperatureSample]] applied to these weights.
+    *
+    * 100 TB shape: both bucket-count tables are aggregations onto a key
+    * space FIXED at B=1024 regardless of corpus size (map-side combine
+    * does almost all the work), the B-row weight table broadcasts, the
+    * per-doc tf aggregation is the only corpus-sized shuffle (16-byte
+    * (doc_id, bucket) rows — never text), and the top-k is a
+    * TakeOrderedAndProject, never a global sort. */
+  def qDsir(spark: SparkSession, dir: String): DataFrame =
+    dsir(docs(spark, dir), targetSource = "src0", k = 25)
+
+  /** Core over any `(doc_id, text, source)` frame — unit-testable on
+    * crafted vocab-separated corpora (CurationSpec). */
+  def dsir(d: DataFrame, targetSource: String, k: Int): DataFrame = {
+    val B = 1024
+    val bucketUdf = udf((w: String) =>
+      java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(w), B.toLong))
+    val tf = d.select(col("doc_id"), col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("w"))
+      .withColumn("b", bucketUdf(col("w")))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    val ct = tf.where(col("source") === targetSource)
+      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
+    val cr = tf.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
+    val counts = d.sparkSession.range(B).select(col("id").as("b"))
+      .join(ct, Seq("b"), "left").join(cr, Seq("b"), "left")
+      .na.fill(0L, Seq("ct", "cr"))
+    val tot = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .withColumn("lw", expr(
+        s"(length(bin(((ct + 1) * 1073741824) div (tt + $B))) - 1)" +
+        s" - (length(bin(((cr + 1) * 1073741824) div (tr + $B))) - 1)"))
+      .select(col("b"), col("lw"))
+    tf.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tok"),
+        sum(col("tf") * col("lw")).cast("long").as("logw"))
+      .withColumn("avg_lw_r", round(col("logw").cast("double") / col("n_tok"), 4))
+      .orderBy(col("avg_lw_r").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dsir" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, source, (md5_number_lower(w) % 1024)::BIGINT AS b, count(*)::BIGINT AS tf
+        |  FROM w GROUP BY 1, 2, 3
+        |), ct0 AS (SELECT b, sum(tf)::BIGINT AS ct FROM tf WHERE source = 'src0' GROUP BY 1),
+        |cr0 AS (SELECT b, sum(tf)::BIGINT AS cr FROM tf GROUP BY 1),
+        |bk AS (SELECT unnest(generate_series(0, 1023))::BIGINT AS b),
+        |cnt AS (
+        |  SELECT bk.b, coalesce(ct, 0)::BIGINT AS ct, coalesce(cr, 0)::BIGINT AS cr
+        |  FROM bk LEFT JOIN ct0 USING (b) LEFT JOIN cr0 USING (b)
+        |), tot AS (SELECT sum(ct)::BIGINT AS tt, sum(cr)::BIGINT AS tr FROM cnt),
+        |lw AS (
+        |  SELECT b, (length(bin((ct + 1) * 1073741824 // (tt + 1024))) - 1)
+        |           - (length(bin((cr + 1) * 1073741824 // (tr + 1024))) - 1) AS lw
+        |  FROM cnt, tot
+        |), sc AS (
+        |  SELECT doc_id, source,
+        |         sum(tf)::BIGINT AS n_tok, sum(tf * lw)::BIGINT AS logw
+        |  FROM tf JOIN lw USING (b) GROUP BY 1, 2
+        |)
+        |SELECT doc_id, source, n_tok, logw,
+        |       round(logw::DOUBLE / n_tok, 4) AS avg_lw_r
+        |FROM sc ORDER BY avg_lw_r DESC, doc_id LIMIT 25""".stripMargin,
+
     "q_url_normalize" ->
       """WITH r AS (
         |  SELECT doc_id,
@@ -1202,5 +1292,6 @@ object CurationQueries {
     "q_bpe_encode" -> ((s: SparkSession, d: String) => qBpeEncode(s, d)),
     "q_nb_classify" -> ((s: SparkSession, d: String) => qNbClassify(s, d)),
     "q_url_normalize" -> (qUrlNormalize _),
+    "q_dsir" -> (qDsir _),
   )
 }

@@ -337,6 +337,47 @@ object QualityQueries {
     assigned
   }
 
+  // ------------------------------------------------ char-level entropy
+
+  /** Character-level Shannon entropy per document, in integer log2 units —
+    * the classic gibberish/encoded-blob filter (near-zero entropy =
+    * repeated filler; entropy near log2(alphabet) with a large alphabet =
+    * base64/binary noise; prose sits in between). Exact integer
+    * formulation (no float logs): with n total chars and cnt_c per
+    * distinct char,
+    *   ent_bits = Σ_c cnt_c · (ilog2(n) − ilog2(cnt_c)),
+    * ilog2(x) = length(bin(x)) − 1, reported alongside
+    * ent_r = round(ent_bits / n, 4); the filter is a WHERE downstream
+    * (the [[qGopherQuality]] discipline).
+    *
+    * 100 TB shape: MAP-ONLY. The per-doc char histogram is built with
+    * array builtins (transform/array_distinct/filter/aggregate) inside
+    * the row — no explode, so no corpus-char-sized shuffle ever exists
+    * (the naive explode(chars)→groupBy shape would shuffle one row per
+    * CHARACTER of a 100 TB corpus). O(len·|alphabet|) per row, trivially
+    * parallel. The oracle uses the unnest+groupBy shape instead — two
+    * independent plans agreeing on every value is the point. */
+  def qCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropy(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame — unit-testable on exact
+    * hand-computed corpora (QualitySpec: "aaaa"→0, "abab"→1, "abcd"→2). */
+  def charEntropy(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), expr(
+        "CASE WHEN length(text) = 0 THEN array() " +
+        "ELSE transform(sequence(1, length(text)), i -> substring(text, i, 1)) END").as("cs"))
+      .select(
+        col("doc_id"),
+        size(col("cs")).cast("long").as("n_chars"),
+        size(array_distinct(col("cs"))).cast("long").as("n_distinct"),
+        expr(
+          "aggregate(transform(array_distinct(cs), c -> size(filter(cs, x -> x = c))), 0L, " +
+          "(acc, cnt) -> acc + CAST(cnt AS BIGINT) * ((length(bin(size(cs))) - 1) - (length(bin(cnt)) - 1)))")
+          .as("ent_bits"))
+      .withColumn("ent_r", round(when(col("n_chars") === 0, lit(0.0))
+        .otherwise(col("ent_bits").cast("double") / col("n_chars")), 4))
+      .orderBy(col("doc_id"))
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -346,9 +387,37 @@ object QualityQueries {
     "q_unicode_clean" -> (qUnicodeClean _),
     "q_oov_rate" -> ((s: SparkSession, d: String) => qOovRate(s, d)),
     "q_length_hist" -> (qLengthHist _),
+    "q_char_entropy" -> (qCharEntropy _),
   )
 
   val oracles: Map[String, String] = Map(
+    // Deliberately a DIFFERENT plan than the Spark side (unnest+groupBy
+    // char histogram vs map-only array builtins) — agreement on every
+    // integer is the check.
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+        |                                       i -> substring(text, i, 1))) AS c
+        |  FROM documents
+        |), cc AS (
+        |  SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2
+        |), n0 AS (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n_chars, count(*)::BIGINT AS n_distinct
+        |  FROM cc GROUP BY 1
+        |), b AS (
+        |  SELECT cc.doc_id,
+        |         sum(cnt * ((length(bin(n_chars)) - 1) - (length(bin(cnt)) - 1)))::BIGINT AS ent_bits
+        |  FROM cc JOIN n0 USING (doc_id) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |       coalesce(n0.n_chars, 0)::BIGINT AS n_chars,
+        |       coalesce(n0.n_distinct, 0)::BIGINT AS n_distinct,
+        |       coalesce(b.ent_bits, 0)::BIGINT AS ent_bits,
+        |       round(CASE WHEN coalesce(n0.n_chars, 0) = 0 THEN 0.0
+        |             ELSE b.ent_bits::DOUBLE / n0.n_chars END, 4) AS ent_r
+        |FROM documents d LEFT JOIN n0 USING (doc_id) LEFT JOIN b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_gopher_quality" ->
       """WITH a AS (
         |  SELECT doc_id,

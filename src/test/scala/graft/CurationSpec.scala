@@ -367,4 +367,31 @@ class CurationSpec extends AnyFunSuite {
     val sorted = rows.sortBy(_._2)
     assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted.reverse))
   }
+  test("dsir: target-vocab docs outrank raw-vocab docs; token counts exact") {
+    import spark.implicits._
+    // target source src0 speaks {alpha, beta}; the raw majority speaks
+    // {gamma, delta}; two probe docs from a third source — one per
+    // vocabulary — must rank by vocabulary, not by source label.
+    val rows = Seq(
+      (0L, "alpha beta alpha beta", "src0"),
+      (1L, "beta alpha beta alpha", "src0"),
+      (2L, "alpha beta alpha beta", "probe"),   // target-like
+      (3L, "gamma delta gamma delta", "probe"), // raw-like
+      (4L, "gamma delta gamma delta", "bulk"),
+      (5L, "delta gamma delta gamma", "bulk"),
+    ).toDF("doc_id", "text", "source")
+    val out = CurationQueries.dsir(rows, "src0", k = 6).collect()
+    assert(out.length == 6)
+    val byId = out.map(r =>
+      r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(byId(2L)._2 == 4L)
+    // hand-derived weights (B=1024, 2^30 scale): alpha/beta buckets get
+    // lw = 22 - 22 = 0; gamma/delta get lw = 19 - 22 = -3 — so the
+    // target-vocab probe scores 0.0 per token, the raw-vocab one -3.0
+    assert(byId(2L)._4 == 0.0 && byId(3L)._4 == -3.0)
+    assert(byId(2L)._4 > byId(3L)._4)
+    // output is already ranked: avg weight desc, doc_id asc
+    val order = out.map(r => (r.getDouble(4), r.getLong(0))).toSeq
+    assert(order == order.sortBy { case (a, id) => (-a, id) })
+  }
 }

@@ -13,6 +13,43 @@ class QualitySpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
   private val sf = "/root/testdata/sf0.001"
 
+  // -------------------------------------------------------- char entropy
+
+  test("char entropy: exact integer bits on hand-computed strings") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "aaaa"), // one symbol: bits = 4·(ilog2(4)−ilog2(4)) = 0
+      (1L, "abab"), // two × 2:   bits = 2·(2−1)+2·(2−1) = 4 → ent 1.0
+      (2L, "abcd"), // four × 1:  bits = 4·(2−0) = 8 → ent 2.0
+      (3L, ""),     // empty: all zeros, no div-by-zero
+      (4L, "aab"),  // n=3: a:2→(1−1)=0·2, b:1→(1−0)=1 → bits 1, ent 0.3333
+    ).toDF("doc_id", "text")
+    val out = QualityQueries.charEntropy(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(0L) == ((4L, 1L, 0L, 0.0)))
+    assert(out(1L) == ((4L, 2L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 4L, 8L, 2.0)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+    assert(out(4L) == ((3L, 2L, 1L, 0.3333)))
+  }
+
+  test("char entropy: corpus invariants (bounds, prose band)") {
+    val out = QualityQueries.qCharEntropy(spark, sf).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (n, dist, bits, ent) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(bits >= 0L && ent >= 0.0)
+      // ilog2 entropy is bounded by ilog2(n) bits per char
+      if (n > 0) assert(ent <= 64 - java.lang.Long.numberOfLeadingZeros(n) - 1 + 1e-9)
+      assert(dist <= n)
+    }
+    // word-salad prose: the corpus median must sit in a prose-like band,
+    // not at the repetitive floor or the random-noise ceiling
+    val ents = out.map(_.getDouble(4)).sorted
+    val med = ents(ents.length / 2)
+    assert(med > 2.0 && med < 6.0, s"median ent $med outside prose band")
+  }
+
   // ------------------------------------------------------------ gopher rules
 
   test("gopher: hand-computed columns on crafted docs incl. both augmentations") {
