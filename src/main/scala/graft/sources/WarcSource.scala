@@ -69,6 +69,30 @@ object WarcSource {
     * the skip path without writing gigabytes). */
   val DefaultMaxRecordBytes: Long = Int.MaxValue - 8L
 
+  /** Driver-side snapshot of the effective Hadoop conf as a plain
+    * serializable key-value array. Executor-side readers/writers rebuild
+    * it so cluster filesystem settings (object-store credentials,
+    * endpoints, timeouts) reach the actual file IO — a vanilla
+    * `new Configuration()` on the executor silently drops everything the
+    * driver was configured with, which "works" on local/HDFS defaults
+    * and breaks on exactly the exotic stores a 100 TB crawl lives in.
+    * (A plain array, not Spark's SerializableConfiguration — that class
+    * is private[spark].) */
+  private[graft] def confSnapshot(conf: Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+    buf.toArray
+  }
+
+  /** Inverse of [[confSnapshot]]: `loadDefaults = false` because the
+    * snapshot already carries the driver's effective defaults. */
+  private[graft] def confFrom(kvs: Array[(String, String)]): Configuration = {
+    val c = new Configuration(false)
+    kvs.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   val Schema: StructType = StructType(Seq(
     StructField("url", StringType, nullable = true),
     StructField("warc_ts", TimestampType, nullable = true),
@@ -144,6 +168,10 @@ private[sources] class WarcScanBuilder(paths: Seq[String], allRecords: Boolean, 
 private[sources] class WarcScan(paths: Seq[String], required: StructType,
     allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
     extends Scan with Batch {
+  // captured on the DRIVER at scan construction; shipped to executors via
+  // the reader factory (see WarcSource.confSnapshot)
+  private val confKvs = WarcSource.confSnapshot(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"WarcScan(${paths.mkString(",")})"
@@ -152,9 +180,10 @@ private[sources] class WarcScan(paths: Seq[String], required: StructType,
     WarcSource.listFiles(paths, conf).map(f => WarcInputPartition(f): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required.fieldNames, allRecords, failFast, maxRecordBytes)
+    new WarcReaderFactory(required.fieldNames, allRecords, failFast, maxRecordBytes, confKvs)
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
-    new WarcMicroBatchStream(paths, required.fieldNames, allRecords, failFast, maxRecordBytes)
+    new WarcMicroBatchStream(paths, required.fieldNames, allRecords, failFast, maxRecordBytes,
+      confKvs)
 }
 
 /** Offset = the lexicographic high-water mark of processed segment file
@@ -178,7 +207,8 @@ private[sources] final case class WarcOffset(last: String, n: Long)
   * ingestion twin of the batch source, with exactly-once file-level
   * replay from the checkpointed offset. */
 private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[String],
-    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
+    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long,
+    confKvs: Array[(String, String)])
     extends streaming.MicroBatchStream {
 
   private def listing(): Seq[String] = {
@@ -224,7 +254,7 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[St
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(fields, allRecords, failFast, maxRecordBytes)
+    new WarcReaderFactory(fields, allRecords, failFast, maxRecordBytes, confKvs)
 
   override def commit(end: streaming.Offset): Unit = {
     val mark = end.asInstanceOf[WarcOffset].last
@@ -237,16 +267,17 @@ private[sources] class WarcMicroBatchStream(paths: Seq[String], fields: Array[St
 private[sources] final case class WarcInputPartition(file: String) extends InputPartition
 
 private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Boolean,
-    failFast: Boolean, maxRecordBytes: Long)
+    failFast: Boolean, maxRecordBytes: Long, confKvs: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields,
-      allRecords, failFast, maxRecordBytes)
+      allRecords, failFast, maxRecordBytes, WarcSource.confFrom(confKvs))
 }
 
-/** Streaming record parser over one WARC file. Executor-side Hadoop
-  * config is the vanilla default (local/HDFS paths resolve; exotic
-  * filesystems would thread a serialized conf through the factory).
+/** Streaming record parser over one WARC file, opened with the DRIVER's
+  * Hadoop configuration (threaded through the factory as a key-value
+  * snapshot) so object-store credentials and endpoints configured on the
+  * session apply to executor file IO.
   *
   * Corruption semantics (`mode` option): once framing is wrong —
   * non-WARC leading bytes, a record without Content-Length, a payload
@@ -258,12 +289,12 @@ private[sources] class WarcReaderFactory(fields: Array[String], allRecords: Bool
   * of one bad segment file, not the job; FAILFAST rethrows (the
   * validation mode). */
 private[sources] class WarcPartitionReader(file: String, fields: Array[String],
-    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long)
+    allRecords: Boolean, failFast: Boolean, maxRecordBytes: Long, hconf: Configuration)
     extends PartitionReader[InternalRow] {
 
   private val in: InputStream = {
     val hp = new HPath(file)
-    val raw = hp.getFileSystem(new Configuration()).open(hp)
+    val raw = hp.getFileSystem(hconf).open(hp)
     val buf = new BufferedInputStream(raw, 1 << 16)
     if (file.endsWith(".gz")) new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
     else buf
@@ -505,6 +536,10 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
   // the factory so tasks name temps consistently (see class doc: this is
   // what makes mode("append") actually append)
   private val jobUid: String = java.util.UUID.randomUUID().toString.substring(0, 8)
+  // driver conf snapshot for executor-side file IO (same rationale as the
+  // read path — see WarcSource.confSnapshot)
+  private val confKvs = WarcSource.confSnapshot(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   override def toBatch: BatchWrite = this
 
@@ -514,11 +549,11 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
       require(i >= 0, s"warc write needs column '$c' (got ${schema.fieldNames.mkString(",")})")
       c -> i
     }.toMap
-    new WarcWriterFactory(dir, jobUid, idx)
+    new WarcWriterFactory(dir, jobUid, idx, confKvs)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = WarcSource.confFrom(confKvs)
     messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
       val src = new HPath(m.tmp)
       val dst = new HPath(s"$dir/part-${"%05d".format(m.partition)}-$jobUid.warc.gz")
@@ -531,7 +566,7 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = new Configuration()
+    val conf = WarcSource.confFrom(confKvs)
     messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
       val p = new HPath(m.tmp)
       val fs = p.getFileSystem(conf)
@@ -540,14 +575,15 @@ private[sources] class WarcWrite(dir: String, schema: StructType)
   }
 }
 
-private[sources] class WarcWriterFactory(dir: String, jobUid: String, idx: Map[String, Int])
+private[sources] class WarcWriterFactory(dir: String, jobUid: String, idx: Map[String, Int],
+    confKvs: Array[(String, String)])
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new WarcDataWriter(dir, jobUid, partitionId, taskId, idx)
+    new WarcDataWriter(dir, jobUid, partitionId, taskId, idx, WarcSource.confFrom(confKvs))
 }
 
 private[sources] class WarcDataWriter(dir: String, jobUid: String, partitionId: Int, taskId: Long,
-    idx: Map[String, Int])
+    idx: Map[String, Int], hconf: Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -557,7 +593,7 @@ private[sources] class WarcDataWriter(dir: String, jobUid: String, partitionId: 
 
   private def ensureOpen(): Unit = if (out == null) {
     val p = new HPath(tmpPath)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf)
     out = new java.util.zip.GZIPOutputStream(fs.create(p, true), 1 << 16)
   }
 
@@ -592,7 +628,7 @@ private[sources] class WarcDataWriter(dir: String, jobUid: String, partitionId: 
   override def abort(): Unit = {
     if (out != null) out.close()
     val p = new HPath(tmpPath)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf)
     if (fs.exists(p)) fs.delete(p, false)
   }
 

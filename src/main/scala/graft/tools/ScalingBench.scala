@@ -70,10 +70,11 @@ object ScalingBench {
 
     val nReps = 6
     val reps = (0 until nReps).map { r =>
-      val (a, sa) = measureClean(nSmall)
-      val (b, sb) = measureClean(nBig)
-      println(f"rep=$r secN=$a%.2f (steal $sa) sec4N=$b%.2f (steal $sb) pairEff=${(a / b) / 4.0}%.3f")
-      (a, b)
+      val ma @ (a, sa) = measureClean(nSmall)
+      val mb @ (b, sb) = measureClean(nBig)
+      val ok = graft.core.Steal.clean(ma) && graft.core.Steal.clean(mb)
+      println(f"rep=$r secN=$a%.2f (steal $sa) sec4N=$b%.2f (steal $sb) pairEff=${(a / b) / 4.0}%.3f clean=$ok")
+      (a, b, ok)
     }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
@@ -82,20 +83,36 @@ object ScalingBench {
     // VERDICT r4 #6: min-of-clean per leg makes the ratio hostage to one
     // pristine narrow-leg window (ambient memory-bandwidth contention
     // doesn't tick steal, so "clean" legs still vary ~15%). Report THREE
-    // estimators:
-    //  - efficiency_min: legacy min-per-leg (comparable to prior rounds);
+    // estimators, every one over BOTH-LEGS-CLEAN reps only (a sustained
+    // storm that outlasts measureClean's retries must not enter a median):
+    //  - efficiency: legacy min-per-leg (comparable to prior rounds);
     //  - efficiency_median: median-per-leg — robust to one lucky window;
     //  - efficiency_paired_median: median of per-rep ratios — each rep's
     //    legs ran back-to-back inside the same ambient-contention regime,
     //    so slow-drifting co-tenant load cancels instead of skewing one
     //    leg. This is the headline estimator for BENCH.md acceptance.
-    val secN = reps.map(_._1).min
-    val sec4N = reps.map(_._2).min
+    val nClean = reps.count(_._3)
+    // all-storm session: fall back to all reps, flagged by clean_reps=0
+    val stealClean = if (nClean > 0) reps.filter(_._3) else reps
+    // Relative outlier cut: the steal budget scales with the window
+    // (~1 stolen core average), so a leg that ran 20x long under
+    // memory-bandwidth contention can still rate "steal-clean" — drop
+    // reps where either leg exceeds 1.5x that leg's own session minimum
+    // (self-referential, no external constant; the dropped count is
+    // visible as clean_reps vs reps in the JSON + per-rep lines above).
+    val minA = stealClean.map(_._1).min
+    val minB = stealClean.map(_._2).min
+    val cleanReps = {
+      val kept = stealClean.filter { case (a, b, _) => a <= 1.5 * minA && b <= 1.5 * minB }
+      if (kept.nonEmpty) kept else stealClean
+    }
+    val secN = cleanReps.map(_._1).min
+    val sec4N = cleanReps.map(_._2).min
     val thrN = nPages / secN
     val thr4N = nPages / sec4N
     val effMin = (thr4N / thrN) / 4.0
-    val effMed = (median(reps.map(_._1)) / median(reps.map(_._2))) / 4.0
-    val effPaired = median(reps.map { case (a, b) => (a / b) / 4.0 })
-    println(f"""{"scaling":{"n_pages":$nPages,"cores_n":$nSmall,"sec_n":$secN%.2f,"pages_per_sec_n":$thrN%.1f,"cores_4n":$nBig,"sec_4n":$sec4N%.2f,"pages_per_sec_4n":$thr4N%.1f,"efficiency":$effMin%.3f,"efficiency_median":$effMed%.3f,"efficiency_paired_median":$effPaired%.3f,"reps":$nReps}}""")
+    val effMed = (median(cleanReps.map(_._1)) / median(cleanReps.map(_._2))) / 4.0
+    val effPaired = median(cleanReps.map { case (a, b, _) => (a / b) / 4.0 })
+    println(f"""{"scaling":{"n_pages":$nPages,"cores_n":$nSmall,"sec_n":$secN%.2f,"pages_per_sec_n":$thrN%.1f,"cores_4n":$nBig,"sec_4n":$sec4N%.2f,"pages_per_sec_4n":$thr4N%.1f,"efficiency":$effMin%.3f,"efficiency_median":$effMed%.3f,"efficiency_paired_median":$effPaired%.3f,"reps":$nReps,"clean_reps":$nClean,"kept_reps":${cleanReps.size}}}""")
   }
 }

@@ -199,6 +199,31 @@ class PlanSpec extends AnyFunSuite {
       s"no corpus-shuffling join may appear in the pq plan:\n$plan")
   }
 
+  test("char entropy: map-only (no exchange before the presentation sort), builtin-only") {
+    val plan = planOf(graft.queries.QualityQueries.qCharEntropy(spark, dir))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      s"over-read: $readSchema")
+    assert(!plan.contains("ScalaUDF"), s"UDF in a builtin-only pipeline:\n$plan")
+    // the whole histogram+entropy computation happens inside the row: the
+    // only exchange allowed is the final doc_id presentation sort — a
+    // per-character explode/groupBy shape would add aggregation exchanges
+    assert(plan.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1,
+      s"per-row pipeline should not shuffle beyond the final sort:\n$plan")
+    assert(!plan.contains("Generate explode"), s"no per-character explode allowed:\n$plan")
+  }
+
+  test("dsir: weight table broadcasts, selection is TakeOrdered (never a global sort)") {
+    val plan = planOf(graft.queries.CurationQueries.qDsir(spark, dir))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1024-row weight table must broadcast into the tf join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-shuffling join may appear in the dsir plan:\n$plan")
+  }
+
   test("aggregation plans use whole-stage codegen") {
     val df = RelationalQueries.qAggStats(spark, dir)
     df.collect() // finalize THIS df's AQE plan (count() would re-plan)

@@ -304,6 +304,25 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(ct == Seq("text/html"))
   }
 
+  test("driver Hadoop conf reaches executor readers via the snapshot roundtrip") {
+    // the executor-visible conf must carry driver-set keys (object-store
+    // credentials at scale); a vanilla executor Configuration would not
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("graft.test.fs.marker", "round5")
+    try {
+      val kvs = graft.sources.WarcSource.confSnapshot(hc)
+      val back = graft.sources.WarcSource.confFrom(kvs)
+      assert(back.get("graft.test.fs.marker") == "round5")
+      assert(back.get("fs.defaultFS") == hc.get("fs.defaultFS"))
+      // and a read through the source still works end-to-end with the
+      // snapshot-built conf in the reader
+      val pages = CorpusGen.pages(6)
+      val dir = tempDir("conf")
+      WarcGen.writeFiles(dir, pages, perFile = 3, gzipped = true)
+      assert(spark.read.format("warc").load(dir).count() == 6)
+    } finally hc.unset("graft.test.fs.marker")
+  }
+
   test("extraction over WARC-read pages is byte-identical to in-memory extraction") {
     val s = spark
     import s.implicits._
