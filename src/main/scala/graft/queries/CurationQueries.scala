@@ -889,6 +889,95 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- curation funnel
+
+  /** The end-to-end curation PIPELINE as one query — the FineWeb/
+    * RedPajama composition a training-data team actually runs, emitted as
+    * a funnel table (stage, docs_in, docs_kept, docs_dropped) so the
+    * per-stage attrition is the hard-checked output:
+    *
+    *   1. exact dedup    — keep the min-doc_id doc per md5(text);
+    *   2. gopher rules   — the [[graft.queries.QualityQueries]] gates on
+    *      the RAW lowercase text (no symbol augmentation here — the
+    *      funnel measures the pipeline, not the rule-exercise corpus);
+    *   3. repetition     — integer-exact gates, no float thresholds:
+    *      top_word_cnt·8 ≤ n_tokens (top-word fraction ≤ 1/8) and
+    *      (n_tokens − n_distinct)·20 ≤ 13·n_tokens (dup fraction ≤ 0.65);
+    *   4. decontaminate  — drop the eval stand-ins (doc_id % 10 = 0) and
+    *      every train doc sharing a word-13-gram with them
+    *      ([[qDecontaminate]]'s exact semantics).
+    *
+    * Stages are SEQUENTIAL: stage i's docs_in is stage i−1's docs_kept
+    * (flags are per-doc, so the cumulative conjunction gives the counts
+    * without re-running anything per stage).
+    *
+    * 100 TB shape: each flag keeps its source query's scale shape (digest
+    * -only shuffle for dedup; map-only gopher; keyed token agg with
+    * map-side combine for repetition; broadcast eval-gram semi-join for
+    * decontamination) and the funnel itself is ONE global aggregate row
+    * stacked into 4 — no new shuffle is introduced by the composition. */
+  def qCurationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationFunnel(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame (CurationSpec drives it on a
+    * crafted corpus where every stage drops a known doc). */
+  def curationFunnel(d: DataFrame): DataFrame = {
+    // stage 1: exact dedup keeper flag (digest-only shuffle)
+    val keepers = d.select(col("doc_id"), md5(col("text")).as("m"))
+      .groupBy(col("m")).agg(min(col("doc_id")).as("keeper"))
+    val f1 = d.select(col("doc_id"), md5(col("text")).as("m"))
+      .join(keepers, "m")
+      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("k_dedup"))
+    // stage 2: gopher pass on raw lowercase text (map-only)
+    val f2 = QualityQueries.gopherMetrics(
+        d.select(col("doc_id"), lower(col("text")).as("gtext")))
+      .select(col("doc_id"), col("pass").as("k_gopher"))
+    // stage 3: repetition gates (keyed token agg, integer-exact)
+    val tok = d.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
+    val f3 = tok.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"), max(col("c")).as("topc"))
+      .select(col("doc_id"),
+        (col("topc") * 8 <= col("n_tokens") &&
+          (col("n_tokens") - col("n_distinct")) * 20 <= col("n_tokens") * 13).as("k_rep"))
+    // stage 4: decontamination flag (broadcast eval-gram semi-join)
+    val gramsUdf = udf((text: String) => gramHashes(text))
+    val g = d.select(col("doc_id"), gramsUdf(col("text")).as("gs"))
+    val isEval = col("doc_id") % 10 === 0
+    val evalGrams = g.where(isEval).select(explode(col("gs")).as("h")).distinct()
+    val dirty = g.where(!isEval).select(col("doc_id"), explode(col("gs")).as("h"))
+      .join(broadcast(evalGrams), "h")
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val f4 = d.select(col("doc_id"))
+      .join(dirty, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (!isEval && !coalesce(col("contaminated"), lit(false))).as("k_decont"))
+    // cumulative conjunction -> one aggregate row -> stacked funnel
+    val flags = d.select(col("doc_id"))
+      .join(f1, "doc_id").join(f2, "doc_id")
+      .join(f3, Seq("doc_id"), "left").join(f4, "doc_id")
+      .na.fill(false, Seq("k_rep")) // empty-text docs have no tokens: fail the gate
+      .select(
+        col("k_dedup").as("s1"),
+        (col("k_dedup") && col("k_gopher")).as("s2"),
+        (col("k_dedup") && col("k_gopher") && col("k_rep")).as("s3"),
+        (col("k_dedup") && col("k_gopher") && col("k_rep") && col("k_decont")).as("s4"))
+    flags.agg(
+        count(lit(1)).as("n0"),
+        sum(col("s1").cast("long")).as("n1"),
+        sum(col("s2").cast("long")).as("n2"),
+        sum(col("s3").cast("long")).as("n3"),
+        sum(col("s4").cast("long")).as("n4"))
+      .select(expr(
+        "stack(4, 1, 'dedup_exact', n0, n1, 2, 'gopher', n1, n2, " +
+        "3, 'repetition', n2, n3, 4, 'decontaminate', n3, n4) " +
+        "AS (stage_idx, stage, docs_in, docs_kept)"))
+      .withColumn("docs_dropped", col("docs_in") - col("docs_kept"))
+      .orderBy(col("stage_idx"))
+  }
+
   // ------------------------------------------------- DSIR data selection
 
   /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
@@ -952,6 +1041,87 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Full pipeline composition — every stage's flag CTE mirrors its
+    // source query's oracle (dedup keeper join, the gopher integer rules
+    // on raw lowercase text, the integer repetition gates, the
+    // 13-gram-vs-eval-set semi-join), conjoined cumulatively into one
+    // aggregate row stacked as the funnel.
+    "q_curation_funnel" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lower(text) AS g,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), ded AS (
+        |  SELECT md5(text) AS m, min(doc_id) AS keeper FROM base GROUP BY 1
+        |), k1 AS (
+        |  SELECT b.doc_id, b.doc_id = ded.keeper AS k_dedup
+        |  FROM base b JOIN ded ON md5(b.text) = ded.m
+        |), gop AS (
+        |  SELECT doc_id,
+        |         len(wl)::BIGINT AS n_words,
+        |         coalesce(list_sum(list_transform(wl, x -> length(x))), 0)::BIGINT AS sum_len,
+        |         len(list_filter(wl, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |         len(list_filter(wl, x -> list_contains(['the','a','of','and','to','in','is','that','with','for'], x)))::BIGINT AS n_stop,
+        |         ((length(g) - length(replace(g, '#', '')))
+        |          + (length(g) - length(replace(g, '...', ''))) // 3)::BIGINT AS n_sym
+        |  FROM base
+        |), k2 AS (
+        |  SELECT doc_id,
+        |         (n_words >= 50 AND n_words <= 100000
+        |          AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+        |          AND n_alpha * 5 >= n_words * 4
+        |          AND n_stop >= 2
+        |          AND n_sym * 10 <= n_words) AS k_gopher
+        |  FROM gop
+        |), wc AS (
+        |  SELECT doc_id, word, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(wl) AS word FROM base) GROUP BY 1, 2
+        |), rep AS (
+        |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+        |         max(c)::BIGINT AS topc
+        |  FROM wc GROUP BY 1
+        |), k3 AS (
+        |  SELECT b.doc_id,
+        |         coalesce(topc * 8 <= n_tokens
+        |                  AND (n_tokens - n_distinct) * 20 <= n_tokens * 13, FALSE) AS k_rep
+        |  FROM base b LEFT JOIN rep USING (doc_id)
+        |), gg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(wl) >= 13
+        |              THEN list_distinct(list_transform(generate_series(1, len(wl) - 12),
+        |                                                i -> md5_number_lower(array_to_string(wl[i:i+12], ' '))))
+        |              ELSE [] END AS gs
+        |  FROM base
+        |), ev AS (
+        |  SELECT DISTINCT unnest(gs) AS h FROM gg WHERE doc_id % 10 = 0
+        |), dirty AS (
+        |  SELECT DISTINCT doc_id
+        |  FROM (SELECT doc_id, unnest(gs) AS h FROM gg WHERE doc_id % 10 <> 0) t
+        |  JOIN ev USING (h)
+        |), k4 AS (
+        |  SELECT b.doc_id, (b.doc_id % 10 <> 0 AND dirty.doc_id IS NULL) AS k_decont
+        |  FROM base b LEFT JOIN dirty USING (doc_id)
+        |), fl AS (
+        |  SELECT k_dedup AS s1,
+        |         k_dedup AND k_gopher AS s2,
+        |         k_dedup AND k_gopher AND k_rep AS s3,
+        |         k_dedup AND k_gopher AND k_rep AND k_decont AS s4
+        |  FROM k1 JOIN k2 USING (doc_id) JOIN k3 USING (doc_id) JOIN k4 USING (doc_id)
+        |), a AS (
+        |  SELECT count(*)::BIGINT AS n0,
+        |         sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |         sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n2,
+        |         sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n3,
+        |         sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n4
+        |  FROM fl
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'dedup_exact' AS stage, n0 AS docs_in, n1 AS docs_kept, (n0 - n1) AS docs_dropped FROM a
+        |  UNION ALL SELECT 2, 'gopher', n1, n2, n1 - n2 FROM a
+        |  UNION ALL SELECT 3, 'repetition', n2, n3, n2 - n3 FROM a
+        |  UNION ALL SELECT 4, 'decontaminate', n3, n4, n3 - n4 FROM a
+        |) ORDER BY stage_idx""".stripMargin,
+
     "q_dsir" ->
       """WITH w AS (
         |  SELECT doc_id, source,
@@ -1293,5 +1463,6 @@ object CurationQueries {
     "q_nb_classify" -> ((s: SparkSession, d: String) => qNbClassify(s, d)),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_dsir" -> (qDsir _),
+    "q_curation_funnel" -> (qCurationFunnel _),
   )
 }

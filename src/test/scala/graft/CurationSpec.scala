@@ -394,4 +394,46 @@ class CurationSpec extends AnyFunSuite {
     val order = out.map(r => (r.getDouble(4), r.getLong(0))).toSeq
     assert(order == order.sortBy { case (a, id) => (-a, id) })
   }
+  test("curation funnel: each stage drops exactly the crafted doc it should") {
+    import spark.implicits._
+    val stop = "the a of and to in is that with for"
+    def uniq(prefix: String, n: Int) = (1 to n).map(i => f"$prefix$i%02d").mkString(" ")
+    val rows = Seq(
+      // doc 0: eval stand-in (doc_id % 10 == 0) — passes stages 1-3,
+      // removed by decontamination as part of the held-out set
+      (0L, s"$stop ${uniq("we", 45)}"),
+      // docs 1, 2: byte-identical — stage 1 keeps the min doc_id only
+      (1L, s"$stop ${uniq("wa", 45)}"),
+      (2L, s"$stop ${uniq("wa", 45)}"),
+      // doc 3: 2 words — fails the gopher word-count rule
+      (3L, "tiny text"),
+      // doc 4: "echo" 20/60 tokens — fails top_word_cnt*8 <= n_tokens
+      (4L, s"$stop ${Seq.fill(20)("echo").mkString(" ")} ${uniq("wb", 30)}"),
+      // doc 5: contains doc 0's leading 13-gram — contaminated
+      (5L, s"$stop ${uniq("we", 13)} ${uniq("wf", 32)}"),
+      // doc 6: clean survivor
+      (6L, s"$stop ${uniq("wg", 45)}"),
+    ).toDF("doc_id", "text")
+    val got = CurationQueries.curationFunnel(rows).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "dedup_exact", 7L, 6L, 1L),
+      (2, "gopher", 6L, 5L, 1L),
+      (3, "repetition", 5L, 4L, 1L),
+      (4, "decontaminate", 4L, 2L, 2L),
+    ), got.mkString("\n"))
+  }
+
+  test("curation funnel: corpus run is monotone and every stage attrits") {
+    val got = CurationQueries.qCurationFunnel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.length == 4)
+    // sequential semantics: stage i's docs_in is stage i-1's docs_kept
+    got.sliding(2).foreach { case Array(a, b) => assert(a._4 == b._3) }
+    got.foreach { case (_, st, in, kept, dropped) =>
+      assert(in - kept == dropped && kept >= 0 && kept <= in, st)
+    }
+    assert(got.head._3 == 500L) // documents-table row count at this sf
+    assert(got.last._4 > 0L, "pipeline must not drop everything")
+  }
 }
