@@ -1141,6 +1141,45 @@ object TrainingDataQueries {
     * 100 TB shape: the term filter lands in the scan (only query-term
     * postings leave it), tf is a map-side-combined count, the df/idf
     * table is |query|-sized and broadcast; nothing corpus-sized shuffles. */
+  /** Positional phrase search — exact k-word-sequence matching, the
+    * positional-postings primitive every real search engine layers under
+    * phrase queries (`"exact phrase"` syntax). The probe phrase is derived
+    * deterministically from the corpus itself (tokens 6–8 of doc 1, both
+    * engines in lockstep) so the query always has ≥ 1 hit on any sf.
+    *
+    * 100 TB shape: only the THREE query terms' postings (doc_id, pos)
+    * leave the tokenizer — a scan-side `isin` filter, the BM25/keyword
+    * discipline — and adjacency is two keyed equi-joins on
+    * (doc_id, pos±k): shuffle volume is query-term postings, never corpus
+    * tokens; no window, no global sort (the final orderBy is presentation
+    * over the hit set). The postings are checkpointed once so the three
+    * per-term branches don't re-tokenize the corpus (the xHostRank64
+    * lesson). */
+  def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame (SearchSpec drives a crafted
+    * corpus with known occurrence counts). */
+  def phraseSearch(d: DataFrame): DataFrame = {
+    // bounded 1-row collect (the medoid discipline): the probe phrase
+    val phrase = d.where(col("doc_id") === 1)
+      .select(expr("slice(filter(split(lower(text), '\\\\s+'), x -> x != ''), 6, 3)").as("p"))
+      .collect()(0).getSeq[String](0)
+    require(phrase.length == 3, "doc 1 too short for the probe phrase")
+    val Seq(w1, w2, w3) = phrase.toSeq
+    val toks = eagerCheckpoint(d
+      .select(col("doc_id"),
+        posexplode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))))
+      .toDF("doc_id", "pos", "word")
+      .where(col("word").isin(w1, w2, w3)))
+    val t1 = toks.where(col("word") === w1).select(col("doc_id"), col("pos"))
+    val t2 = toks.where(col("word") === w2).select(col("doc_id"), (col("pos") - 1).as("pos"))
+    val t3 = toks.where(col("word") === w3).select(col("doc_id"), (col("pos") - 2).as("pos"))
+    t1.join(t2, Seq("doc_id", "pos")).join(t3, Seq("doc_id", "pos"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("doc_id"))
+  }
+
   def qKeywordSearch(spark: SparkSession, dir: String,
                      query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
                      k: Int = 20): DataFrame =
@@ -1305,6 +1344,27 @@ object TrainingDataQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // Positional phrase search: probe phrase = tokens 6-8 of doc 1 in
+    // BOTH engines (Spark posexplode is 0-based, DuckDB lists 1-based —
+    // only relative adjacency matters, so the off-by-one cancels).
+    "q_phrase_search" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS wl
+        |  FROM documents
+        |), ph AS (
+        |  SELECT wl[6] AS w1, wl[7] AS w2, wl[8] AS w3 FROM w WHERE doc_id = 1
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, wl[i] AS word
+        |  FROM (SELECT doc_id, wl, unnest(generate_series(1, len(wl))) AS i FROM w)
+        |), hit AS (
+        |  SELECT t1.doc_id
+        |  FROM tok t1 JOIN ph ON t1.word = ph.w1
+        |  JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1 AND t2.word = ph.w2
+        |  JOIN tok t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2 AND t3.word = ph.w3
+        |)
+        |SELECT doc_id, count(*)::BIGINT AS n_occurrences
+        |FROM hit GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_keyword_search" ->
       """WITH q AS (SELECT unnest(['hash','join','stream','window','vector']) AS word),
         |nn AS (SELECT count(*) AS n FROM documents),
@@ -1842,6 +1902,7 @@ object TrainingDataQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_corpus_filter" -> (qCorpusFilter _),
     "q_keyword_search" -> ((s: SparkSession, d: String) => qKeywordSearch(s, d)),
+    "q_phrase_search" -> (qPhraseSearch _),
     "q_bm25" -> ((s: SparkSession, d: String) => qBm25(s, d)),
     "q_hybrid_search" -> ((s: SparkSession, d: String) => qHybridSearch(s, d)),
   )

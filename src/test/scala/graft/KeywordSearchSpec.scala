@@ -58,4 +58,27 @@ class KeywordSearchSpec extends AnyFunSuite {
       assert(s < hits * (10L * 2200000L), "saturation bound violated")
     }
   }
+  test("phrase search: crafted corpus with known occurrence counts") {
+    import spark.implicits._
+    // doc 1's tokens 6-8 define the probe phrase: "fff ggg hhh"
+    val d = Seq(
+      (1L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"),
+      // two occurrences, one straddling a repeat
+      (2L, "xxx fff ggg hhh yyy fff ggg hhh zzz"),
+      // near miss: middle word differs
+      (3L, "fff qqq hhh fff ggg qqq"),
+      // phrase at the very start and very end
+      (4L, "fff ggg hhh"),
+      (5L, "ppp fff ggg"),  // incomplete tail: no hit
+    ).toDF("doc_id", "text")
+    val got = TrainingDataQueries.phraseSearch(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 4L -> 1L), got.toString)
+  }
+
+  test("phrase search: corpus query hits its own origin doc") {
+    val got = TrainingDataQueries.qPhraseSearch(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.getOrElse(1L, 0L) >= 1L, s"doc 1 must contain its own phrase: $got")
+  }
 }
