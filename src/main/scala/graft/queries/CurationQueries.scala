@@ -914,8 +914,9 @@ object CurationQueries {
     * 100 TB shape: each flag keeps its source query's scale shape (digest
     * -only shuffle for dedup; map-only gopher; keyed token agg with
     * map-side combine for repetition; broadcast eval-gram semi-join for
-    * decontamination) and the funnel itself is ONE global aggregate row
-    * stacked into 4 — no new shuffle is introduced by the composition. */
+    * decontamination). The composition itself adds only the doc_id-keyed
+    * joins that align the four BOOLEAN flags (≲17-byte rows — never text)
+    * plus one global aggregate row stacked into 4. */
   def qCurationFunnel(spark: SparkSession, dir: String): DataFrame =
     curationFunnel(docs(spark, dir))
 
