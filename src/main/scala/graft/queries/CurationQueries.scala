@@ -889,6 +889,51 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------- URL filtering
+
+  /** URL-based filtering — the stage every web-corpus pipeline runs
+    * BEFORE fetching/parsing a byte of content (CCNet/FineWeb use the
+    * UT1 blocklists the same way): a broadcast host blocklist, a path
+    * keyword rule, and a scheme rule, each evaluated on the same
+    * deterministic synthetic URL column as [[qUrlNormalize]] (the
+    * documents table carries no url; the synthesis exercises every rule).
+    * Output is per-doc with a first-failing `reason` (the
+    * q_corpus_filter discipline) so downstream keeps `WHERE kept`.
+    *
+    * 100 TB shape: map-only — the blocklist is a broadcast literal set
+    * (real UT1 lists are a few MB — still broadcast), everything else is
+    * per-row regex/string builtins; no shuffle beyond the presentation
+    * sort. */
+  def qUrlFilter(spark: SparkSession, dir: String): DataFrame = {
+    val raw = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://WWW.Site")).otherwise(lit("http://site")),
+      (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 3 === 0, lit(".Example.COM:443")).otherwise(lit(".example.com:80")),
+      lit("/a//b/page"), col("doc_id").cast("string"),
+      when(col("doc_id") % 2 === 0, lit("/index.html")).otherwise(lit("/")),
+      lit("?utm_source=feed&id="), (col("doc_id") % 97).cast("string"),
+    )
+    val blocked = Seq("site7.example.com", "site13.example.com",
+      "site21.example.com", "site34.example.com")
+    docs(spark, dir)
+      .select(col("doc_id"), raw.as("u"))
+      .withColumn("p", lower(regexp_extract(col("u"), "^([A-Za-z]+://[^/]*)", 1)))
+      .withColumn("p", regexp_replace(col("p"), ":(80|443)$", ""))
+      .withColumn("p", expr("replace(p, '://www.', '://')"))
+      .withColumn("host", regexp_extract(col("p"), "^[a-z]+://([^/:]+)", 1))
+      .withColumn("https", col("p").startsWith("https://"))
+      .withColumn("path", regexp_extract(col("u"), "^[A-Za-z]+://[^/]*(/[^?#]*)", 1))
+      .withColumn("reason",
+        when(col("host").isin(blocked: _*), "host_blocklist")
+          .when(lower(col("path")).rlike("page\\d*[05]/"), "path_keyword")
+          .when(!col("https"), "non_https")
+          .otherwise("ok"))
+      .select(
+        col("doc_id"), col("host"), col("https"),
+        col("reason"), (col("reason") === "ok").as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- curation funnel
 
   /** The end-to-end curation PIPELINE as one query — the FineWeb/
@@ -1042,6 +1087,41 @@ object CurationQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_url_filter" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.Site' ELSE 'http://site' END)
+        |         || (doc_id % 50)::VARCHAR
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '.Example.COM:443' ELSE '.example.com:80' END)
+        |         || '/a//b/page' || doc_id::VARCHAR
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '/index.html' ELSE '/' END)
+        |         || '?utm_source=feed&id=' || (doc_id % 97)::VARCHAR AS u
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, u,
+        |         replace(regexp_replace(lower(regexp_extract(u, '^([A-Za-z]+://[^/]*)', 1)),
+        |                                ':(80|443)$', ''), '://www.', '://') AS p,
+        |         regexp_extract(u, '^[A-Za-z]+://[^/]*(/[^?#]*)', 1) AS path
+        |  FROM r
+        |), m AS (
+        |  SELECT doc_id,
+        |         regexp_extract(p, '^[a-z]+://([^/:]+)', 1) AS host,
+        |         p LIKE 'https://%' AS https,
+        |         path
+        |  FROM s
+        |), f AS (
+        |  SELECT doc_id, host, https,
+        |         CASE WHEN list_contains(['site7.example.com','site13.example.com',
+        |                                  'site21.example.com','site34.example.com'], host)
+        |                THEN 'host_blocklist'
+        |              WHEN regexp_matches(lower(path), 'page\d*[05]/') THEN 'path_keyword'
+        |              WHEN NOT https THEN 'non_https'
+        |              ELSE 'ok' END AS reason
+        |  FROM m
+        |)
+        |SELECT doc_id, host, https, reason, (reason = 'ok') AS kept
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     // Full pipeline composition — every stage's flag CTE mirrors its
     // source query's oracle (dedup keeper join, the gopher integer rules
     // on raw lowercase text, the integer repetition gates, the
@@ -1465,5 +1545,6 @@ object CurationQueries {
     "q_url_normalize" -> (qUrlNormalize _),
     "q_dsir" -> (qDsir _),
     "q_curation_funnel" -> (qCurationFunnel _),
+    "q_url_filter" -> (qUrlFilter _),
   )
 }

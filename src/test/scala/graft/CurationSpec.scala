@@ -436,4 +436,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got.head._3 == 500L) // documents-table row count at this sf
     assert(got.last._4 > 0L, "pipeline must not drop everything")
   }
+  test("url filter: every rule fires and reasons are first-fail ordered") {
+    val rows = CurationQueries.qUrlFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.length == 500)
+    val byReason = rows.groupBy(_._4).view.mapValues(_.length).toMap
+    // all four outcomes occur on the synthetic URL distribution
+    assert(Set("host_blocklist", "path_keyword", "non_https", "ok").subsetOf(byReason.keySet), byReason.toString)
+    rows.foreach { case (id, host, https, reason, kept) =>
+      assert(host == s"site${id % 50}.example.com")
+      assert(https == (id % 3 == 0))
+      assert(kept == (reason == "ok"))
+      // first-fail ordering: a blocklisted host reports host_blocklist even
+      // when the path keyword would also fire
+      if (Set(7L, 13L, 21L, 34L).contains(id % 50)) assert(reason == "host_blocklist", s"doc $id")
+      else if (id % 10 == 0 || id % 10 == 5) assert(reason == "path_keyword", s"doc $id")
+      else if (id % 3 != 0) assert(reason == "non_https", s"doc $id")
+      else assert(reason == "ok", s"doc $id")
+    }
+  }
 }
