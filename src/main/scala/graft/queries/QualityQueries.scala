@@ -378,6 +378,48 @@ object QualityQueries {
         .otherwise(col("ent_bits").cast("double") / col("n_chars")), 4))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------- corpus profile
+
+  /** One-row corpus statistical profile — the numbers every dataset card
+    * reports (docs, tokens, vocabulary size, hapax fraction, top-10 token
+    * mass) plus the corpus unigram ENTROPY in exact integer log2 units
+    * (Σ c·(ilog2(N)−ilog2(c)) over the vocabulary — the [[charEntropy]]
+    * formula at token granularity; low entropy ⇒ boilerplate-dominated
+    * corpus, a dataset-level health signal).
+    *
+    * 100 TB shape: ONE corpus-token aggregation with map-side combine
+    * (output is vocabulary-sized ≪ corpus); everything downstream runs on
+    * the vocab table — the hapax/entropy sums are a second vocab-sized
+    * agg, and top-10 mass is a TakeOrderedAndProject over the vocab
+    * (never a single-partition window over it). */
+  def qCorpusStats(spark: SparkSession, dir: String): DataFrame =
+    corpusStats(docs(spark, dir))
+
+  /** Core over any `(doc_id, text)` frame (QualitySpec hand-computes a
+    * tiny corpus). */
+  def corpusStats(d: DataFrame): DataFrame = {
+    val nDocs = d.count()
+    val wc = d.select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val top10 = wc.orderBy(col("c").desc, col("w")).limit(10)
+      .agg(sum(col("c")).cast("long").as("top10_mass"))
+    // entropy needs the total inside the per-word sum: 1-row broadcast of
+    // N into a second vocab-sized agg
+    val ent = wc.crossJoin(broadcast(wc.agg(sum(col("c")).as("nt"))))
+      .agg(sum(col("c") * ((length(bin(col("nt"))) - 1) - (length(bin(col("c"))) - 1)))
+        .cast("long").as("ent_bits"))
+    wc.agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .crossJoin(broadcast(top10))
+      .crossJoin(broadcast(ent))
+      .select(
+        lit(nDocs).as("n_docs"),
+        col("n_tokens"), col("vocab_size"), col("n_hapax"), col("top10_mass"), col("ent_bits"),
+        round(col("ent_bits").cast("double") / col("n_tokens"), 4).as("ent_r"))
+  }
+
   // ---------------------------------------------------------------- wiring
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -388,9 +430,33 @@ object QualityQueries {
     "q_oov_rate" -> ((s: SparkSession, d: String) => qOovRate(s, d)),
     "q_length_hist" -> (qLengthHist _),
     "q_char_entropy" -> (qCharEntropy _),
+    "q_corpus_stats" -> (qCorpusStats _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_corpus_stats" ->
+      """WITH wc AS (
+        |  SELECT w, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT sum(c)::BIGINT AS top10_mass
+        |  FROM (SELECT c FROM wc ORDER BY c DESC, w LIMIT 10)
+        |), nt AS (SELECT sum(c)::BIGINT AS n FROM wc),
+        |e AS (
+        |  SELECT sum(c * ((length(bin(nt.n)) - 1) - (length(bin(c)) - 1)))::BIGINT AS ent_bits
+        |  FROM wc, nt
+        |)
+        |SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+        |       nt.n AS n_tokens,
+        |       (SELECT count(*) FROM wc)::BIGINT AS vocab_size,
+        |       (SELECT sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) FROM wc)::BIGINT AS n_hapax,
+        |       t.top10_mass,
+        |       e.ent_bits,
+        |       round(e.ent_bits::DOUBLE / nt.n, 4) AS ent_r
+        |FROM nt, t, e""".stripMargin,
+
     // Deliberately a DIFFERENT plan than the Spark side (unnest+groupBy
     // char histogram vs map-only array builtins) — agreement on every
     // integer is the check.

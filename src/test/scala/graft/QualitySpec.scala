@@ -50,6 +50,29 @@ class QualitySpec extends AnyFunSuite {
     assert(med > 2.0 && med < 6.0, s"median ent $med outside prose band")
   }
 
+  // ----------------------------------------------------------- corpus stats
+
+  test("corpus stats: hand-computed one-row profile") {
+    import spark.implicits._
+    // wc: a:2, b:2, c:1 — N=5, vocab=3, hapax=1, top10 covers everything;
+    // ent_bits = 2·(ilog2(5)−ilog2(2)) ×2 + 1·(ilog2(5)−ilog2(1)) = 2+2+2
+    val d = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val r = QualityQueries.corpusStats(d).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getDouble(6)) == ((2L, 5L, 3L, 1L, 5L, 6L, 1.2)))
+  }
+
+  test("corpus stats: corpus invariants") {
+    val r = QualityQueries.qCorpusStats(spark, sf).collect()(0)
+    val (nDocs, nTok, vocab, hapax, top10, entBits, entR) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6))
+    assert(nDocs == 500L && nTok > 0L)
+    assert(vocab <= nTok && hapax <= vocab && top10 <= nTok)
+    // integer entropy per token is bounded by ilog2(N)
+    assert(entR >= 0.0 && entR <= (63 - java.lang.Long.numberOfLeadingZeros(nTok)).toDouble)
+  }
+
   // ------------------------------------------------------------ gopher rules
 
   test("gopher: hand-computed columns on crafted docs incl. both augmentations") {
