@@ -306,6 +306,48 @@ object CurationQueries {
     incrementalCore(d, wins, batch => batch.where(mightContain(col("h"))))
   }
 
+  // ----------------------------------------------------- crawl snapshot diff
+
+  /** Crawl-to-crawl snapshot diff — the CDX-index comparison every
+    * recurring crawl runs before deciding what to re-extract: given two
+    * crawl snapshots of the same url space, classify every url as
+    * `added` (new in B), `gone` (dropped from B), `changed` (re-crawled
+    * with different content), or `same`. Downstream, only `added|changed`
+    * rows enter the extraction wave (the resume/lineage layer already
+    * skips completed partitions; this skips UNCHANGED pages entirely).
+    *
+    * The two snapshots are derived deterministically from the documents
+    * table in BOTH engines (A = doc_id % 10 != 9, B = doc_id % 10 != 0,
+    * with B's content mutated for doc_id % 7 == 3) so the oracle
+    * hard-checks the classification logic, not a stored fixture.
+    *
+    * 100 TB shape: only (doc_id, source, 32-char digest) rows leave the
+    * two scans — text reduces to md5 BEFORE the join, so the full-outer
+    * equi-join shuffles ~50-byte rows keyed by doc_id (AQE splits hot
+    * keys; there are none — doc_id is unique per side). This is the
+    * incremental-dedup discipline applied to crawl maintenance. */
+  def qSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val a = base.where(pmod(col("doc_id"), lit(10L)) =!= 9L)
+      .select(col("doc_id"), col("source").as("source_a"),
+        md5(col("text").cast("binary")).as("dig_a"))
+    val b = base.where(pmod(col("doc_id"), lit(10L)) =!= 0L)
+      .select(col("doc_id"), col("source").as("source_b"),
+        when(pmod(col("doc_id"), lit(7L)) === 3L,
+          md5(concat(col("text"), lit("#v2")).cast("binary")))
+          .otherwise(md5(col("text").cast("binary"))).as("dig_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("dig_a").isNull, lit("added"))
+          .when(col("dig_b").isNull, lit("gone"))
+          .when(col("dig_a") =!= col("dig_b"), lit("changed"))
+          .otherwise(lit("same")).as("status"),
+      )
+      .orderBy(col("doc_id"))
+  }
+
   /** Segment-level repetition removal — the C4 §2.2 "discard repeated
     * lines" rule re-expressed for this corpus: real crawls split on
     * newline; the synthetic documents are single-line word salads, so the
@@ -1543,6 +1585,24 @@ object CurationQueries {
         |       coalesce(cleaned_md5, md5('')) AS cleaned_md5
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT doc_id, source, md5(text) AS dig
+        |  FROM documents WHERE doc_id % 10 <> 9
+        |), b AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 7 = 3 THEN md5(text || '#v2') ELSE md5(text) END AS dig
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |       coalesce(a.source, b.source) AS source,
+        |       CASE WHEN a.dig IS NULL THEN 'added'
+        |            WHEN b.dig IS NULL THEN 'gone'
+        |            WHEN a.dig <> b.dig THEN 'changed'
+        |            ELSE 'same' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // identical semantics to q_dedup_incremental -> identical oracle (the
     // bloom filter is a physical pre-filter; false positives are removed
     // by the exact join, false negatives are impossible)
@@ -1591,6 +1651,7 @@ object CurationQueries {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_dedup_substring" -> (qDedupSubstring _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) => qPackSequences(s, d)),
     "q_dedup_incr_bloom" -> ((s: SparkSession, d: String) => qDedupIncrBloom(s, d)),
     "q_dedup_segments" -> ((s: SparkSession, d: String) => qDedupSegments(s, d)),

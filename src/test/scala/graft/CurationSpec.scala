@@ -455,4 +455,38 @@ class CurationSpec extends AnyFunSuite {
       else assert(reason == "ok", s"doc $id")
     }
   }
+
+  // ------------------------------------------------------- snapshot diff
+
+  test("snapshot diff: statuses are exhaustive and digest-driven") {
+    val rows = CurationQueries.qSnapshotDiff(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // snapshot membership is doc_id arithmetic -> the expected status of
+    // every url is computable independently of the engine
+    rows.foreach { case (id, st) =>
+      val inA = id % 10 != 9
+      val inB = id % 10 != 0
+      val expected =
+        if (!inA) "added"
+        else if (!inB) "gone"
+        else if (id % 7 == 3) "changed"
+        else "same"
+      assert(st == expected, s"doc $id")
+    }
+    // non-vacuous: all four statuses occur on the real corpus
+    assert(rows.values.toSet == Set("added", "gone", "changed", "same"))
+    // a url present in neither snapshot never appears
+    assert(rows.keySet.forall(id => id % 10 != 9 || id % 10 != 0))
+  }
+
+  test("snapshot diff plan: text reduces to md5 before the join") {
+    val plan = CurationQueries.qSnapshotDiff(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    // the join keys on doc_id alone, and each input collapses text to a
+    // digest in the projection UNDER the join (text never crosses it)
+    assert(plan.contains("Join FullOuter, (doc_id"), plan)
+    val joinOutput = plan.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(!joinOutput.contains("text#"), s"text column crosses the join:\n$plan")
+    assert("md5\\(".r.findAllIn(plan).size >= 2, plan)
+  }
 }
