@@ -34,6 +34,10 @@ object GraftSession {
         classOf[graft.html.TextNode],
       ).map(_.getName).mkString(","))
       .config("spark.ui.enabled", "false")
+      // managed tables (the bucketed seen-digest corpus) live under tmp,
+      // never inside the repo working dir
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 1)).getOrCreate()
