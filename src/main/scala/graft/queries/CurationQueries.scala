@@ -641,6 +641,39 @@ object CurationQueries {
   def qNbClassify(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame =
     nbClassify(docs(spark, dir), vocabSize)
 
+  /** Per-class calibration table for the NB classifier — the
+    * precision/recall/F1 report a production quality-filter training run
+    * emits before the filter is trusted to gate a corpus (self-eval on
+    * the training labels; `source` is the label, as in [[qNbClassify]]).
+    *
+    * 100 TB shape: every metric derives from the ≤ L²-row confusion
+    * matrix, so all work past the classifier itself is
+    * label-cardinality-sized regardless of corpus size. Doubles are
+    * computed from the ROUNDED precision/recall in the same IEEE
+    * operation order in both engines (the mix-weights discipline), so
+    * the driver hash compares exactly. */
+  def qClassifierEval(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
+    val conf = nbClassify(docs(spark, dir), vocabSize)
+    val byTrue = conf.groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_true"),
+        sum(when(col("predicted") === col("source"), col("n_docs")).otherwise(0L)).as("n_correct"))
+    val byPred = conf.groupBy(col("predicted").as("source"))
+      .agg(sum(col("n_docs")).as("n_pred"))
+    byTrue.join(byPred, Seq("source"), "left")
+      .select(col("source"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_correct"))
+      .withColumn("recall_r",
+        round(col("n_correct").cast("double") / col("n_true"), 6))
+      .withColumn("precision_r",
+        round(when(col("n_pred") === 0L, lit(0.0))
+          .otherwise(col("n_correct").cast("double") / col("n_pred")), 6))
+      .withColumn("f1_r",
+        round(when(col("precision_r") + col("recall_r") === 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("precision_r") * col("recall_r")
+            / (col("precision_r") + col("recall_r"))), 6))
+      .orderBy(col("source"))
+  }
+
   /** Train+apply core over any `(doc_id, text, source)` frame —
     * unit-testable on crafted separable corpora (CurationSpec). */
   def nbClassify(d: DataFrame, vocabSize: Int): DataFrame =
@@ -1411,51 +1444,38 @@ object CurationQueries {
     // Naive Bayes reproduced in SQL: same top-256 vocab (count desc, word
     // tiebreak), Laplace-smoothed integer-log2 weights, per-doc argmax via
     // row_number (score desc, label) = Spark's min(struct(-score, label)).
-    "q_nb_classify" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source,
-        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |                            w -> regexp_matches(w, '^[a-z0-9]+$'))) AS word
-        |  FROM documents
-        |), vocab AS (
-        |  SELECT word FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY 1
-        |                    ORDER BY cnt DESC, word LIMIT 256)
-        |), labels AS (
-        |  SELECT source AS label, count(*) AS n_docs_l FROM documents GROUP BY 1
-        |), nn AS (SELECT count(*) AS n FROM documents),
-        |cnt AS (
-        |  SELECT source AS label, word, count(*) AS c
-        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
-        |), model0 AS (
-        |  SELECT l.label, v.word, coalesce(c.c, 0) AS c
-        |  FROM labels l CROSS JOIN vocab v
-        |  LEFT JOIN cnt c ON c.label = l.label AND c.word = v.word
-        |), totals AS (SELECT label, sum(c) AS total_l FROM model0 GROUP BY 1),
-        |model AS (
-        |  SELECT m.label, m.word,
-        |         length(bin(((m.c + 1) * 1073741824) // (t.total_l + 256))) - 1 AS weight
-        |  FROM model0 m JOIN totals t USING (label)
-        |), prior AS (
-        |  SELECT label,
-        |         length(bin((n_docs_l * 1073741824) // (SELECT n FROM nn))) - 1 AS prior
-        |  FROM labels
-        |), tf AS (
-        |  SELECT doc_id, word, count(*) AS tf
-        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
-        |), sc AS (
-        |  SELECT tf.doc_id, m.label, p.prior + sum(tf.tf * m.weight) AS score
-        |  FROM tf JOIN model m USING (word) JOIN prior p ON p.label = m.label
-        |  GROUP BY 1, 2, p.prior
-        |), pred AS (
-        |  SELECT doc_id, label AS predicted FROM (
-        |    SELECT doc_id, label,
-        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
-        |    FROM sc) WHERE rn = 1
-        |), fb AS (SELECT label FROM prior ORDER BY prior DESC, label LIMIT 1)
+    "q_nb_classify" -> (NbCoreCte +
+      """
         |SELECT d.source, coalesce(p.predicted, (SELECT label FROM fb)) AS predicted,
         |       count(*)::BIGINT AS n_docs
         |FROM documents d LEFT JOIN pred p USING (doc_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // derives from the SAME trained model CTE as q_nb_classify (shared
+    // NbCoreCte) so the two oracles can never drift apart
+    "q_classifier_eval" -> (NbCoreCte +
+      """,
+        |conf AS (
+        |  SELECT d.source, coalesce(p.predicted, (SELECT label FROM fb)) AS predicted,
+        |         count(*)::BIGINT AS n_docs
+        |  FROM documents d LEFT JOIN pred p USING (doc_id) GROUP BY 1, 2
+        |), bt AS (
+        |  SELECT source, sum(n_docs)::BIGINT AS n_true,
+        |         sum(CASE WHEN predicted = source THEN n_docs ELSE 0 END)::BIGINT AS n_correct
+        |  FROM conf GROUP BY 1
+        |), bp AS (
+        |  SELECT predicted AS source, sum(n_docs)::BIGINT AS n_pred FROM conf GROUP BY 1
+        |)
+        |SELECT source, n_true, n_pred, n_correct, recall_r, precision_r,
+        |       round(CASE WHEN precision_r + recall_r = 0 THEN 0.0
+        |             ELSE 2.0 * precision_r * recall_r / (precision_r + recall_r) END, 6) AS f1_r
+        |FROM (
+        |  SELECT bt.source, n_true, coalesce(n_pred, 0)::BIGINT AS n_pred, n_correct,
+        |         round(n_correct::DOUBLE / n_true, 6) AS recall_r,
+        |         round(CASE WHEN coalesce(n_pred, 0) = 0 THEN 0.0
+        |               ELSE n_correct::DOUBLE / n_pred END, 6) AS precision_r
+        |  FROM bt LEFT JOIN bp USING (source)
+        |) ORDER BY source""".stripMargin),
 
     "q_lm_score" ->
       """WITH w AS (
@@ -1667,6 +1687,51 @@ object CurationQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 
+  /** Shared NB train+predict CTE chain (through the fallback-label
+    * cte `fb`) — the single source both q_nb_classify and
+    * q_classifier_eval build their final SELECT on. */
+  private lazy val NbCoreCte: String =
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                            w -> regexp_matches(w, '^[a-z0-9]+$'))) AS word
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT word FROM (SELECT word, count(*) AS cnt FROM toks GROUP BY 1
+        |                    ORDER BY cnt DESC, word LIMIT 256)
+        |), labels AS (
+        |  SELECT source AS label, count(*) AS n_docs_l FROM documents GROUP BY 1
+        |), nn AS (SELECT count(*) AS n FROM documents),
+        |cnt AS (
+        |  SELECT source AS label, word, count(*) AS c
+        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
+        |), model0 AS (
+        |  SELECT l.label, v.word, coalesce(c.c, 0) AS c
+        |  FROM labels l CROSS JOIN vocab v
+        |  LEFT JOIN cnt c ON c.label = l.label AND c.word = v.word
+        |), totals AS (SELECT label, sum(c) AS total_l FROM model0 GROUP BY 1),
+        |model AS (
+        |  SELECT m.label, m.word,
+        |         length(bin(((m.c + 1) * 1073741824) // (t.total_l + 256))) - 1 AS weight
+        |  FROM model0 m JOIN totals t USING (label)
+        |), prior AS (
+        |  SELECT label,
+        |         length(bin((n_docs_l * 1073741824) // (SELECT n FROM nn))) - 1 AS prior
+        |  FROM labels
+        |), tf AS (
+        |  SELECT doc_id, word, count(*) AS tf
+        |  FROM toks JOIN vocab USING (word) GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT tf.doc_id, m.label, p.prior + sum(tf.tf * m.weight) AS score
+        |  FROM tf JOIN model m USING (word) JOIN prior p ON p.label = m.label
+        |  GROUP BY 1, 2, p.prior
+        |), pred AS (
+        |  SELECT doc_id, label AS predicted FROM (
+        |    SELECT doc_id, label,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |    FROM sc) WHERE rn = 1
+        |), fb AS (SELECT label FROM prior ORDER BY prior DESC, label LIMIT 1)""".stripMargin
+
   private lazy val IncrementalOracle: String =
       """WITH w AS (
         |  SELECT doc_id, md5(substr(text, p, 64)) AS h
@@ -1702,6 +1767,7 @@ object CurationQueries {
     "q_bpe_merges" -> ((s: SparkSession, d: String) => qBpeMerges(s, d)),
     "q_bpe_encode" -> ((s: SparkSession, d: String) => qBpeEncode(s, d)),
     "q_nb_classify" -> ((s: SparkSession, d: String) => qNbClassify(s, d)),
+    "q_classifier_eval" -> ((s: SparkSession, d: String) => qClassifierEval(s, d)),
     "q_url_normalize" -> (qUrlNormalize _),
     "q_dsir" -> (qDsir _),
     "q_curation_funnel" -> (qCurationFunnel _),

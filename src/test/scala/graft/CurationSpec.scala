@@ -456,6 +456,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  // -------------------------------------------------- classifier calibration
+
+  test("classifier eval: metrics recompute from the confusion matrix") {
+    val conf = CurationQueries.qNbClassify(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val eval = CurationQueries.qClassifierEval(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val labels = conf.map(_._1).toSet
+    assert(eval.keySet == labels)
+    labels.foreach { l =>
+      val nTrue = conf.filter(_._1 == l).map(_._3).sum
+      val nPred = conf.filter(_._2 == l).map(_._3).sum
+      val nCorrect = conf.filter(c => c._1 == l && c._2 == l).map(_._3).sum
+      val (et, ep, ec, rec, prec, f1) = eval(l)
+      assert((et, ep, ec) == ((nTrue, nPred, nCorrect)), s"counts for $l")
+      assert(math.abs(rec - nCorrect.toDouble / nTrue) < 5e-7, s"recall for $l")
+      val expPrec = if (nPred == 0) 0.0 else nCorrect.toDouble / nPred
+      assert(math.abs(prec - expPrec) < 5e-7, s"precision for $l")
+      val expF1 = if (prec + rec == 0.0) 0.0 else 2.0 * prec * rec / (prec + rec)
+      assert(math.abs(f1 - expF1) < 5e-7, s"f1 for $l")
+    }
+    // the synthetic corpus is NOT perfectly separable — a calibration
+    // table of all-1.0 rows would mean the test can't catch metric bugs
+    assert(eval.values.exists(_._6 < 1.0))
+  }
+
   // ------------------------------------------------------- snapshot diff
 
   test("snapshot diff: statuses are exhaustive and digest-driven") {
