@@ -1106,6 +1106,55 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------- crawl frontier
+
+  /** Politeness-scheduled crawl frontier: every url gets a fetch wave and
+    * an in-wave slot under a per-host concurrency cap (`perWave` fetches
+    * per host per wave) — the scheduling layer ABOVE the URL gate
+    * ([[qUrlFilter]]): a crawler that ignores per-host caps gets itself
+    * blocked; one that serializes per host wastes the fleet. Host is the
+    * synthetic 50-host distribution (doc_id % 50, the q_url_filter
+    * convention).
+    *
+    * 100 TB shape (`grouped = true`, the default — EXACT): per-host rank
+    * is the same two-level parallel prefix scan as [[qPackSequences]],
+    * counting rows instead of tokens — local row_number within
+    * (host, grp = floor(doc_id/groupSize)) plus the exclusive prefix sum
+    * of per-group COUNTS. The hot host every real frontier has splits
+    * into |host|/groupSize parallel rank tasks; the group-count table is
+    * a groupSize× reduction of the frontier. wave/slot are then map-only
+    * integer ops. PackCapScaleSpec pins grouped == single-window and the
+    * per-(host, wave) cap property. */
+  def qCrawlFrontier(spark: SparkSession, dir: String, perWave: Int = 4,
+                     grouped: Boolean = true, groupSize: Long = 4096L): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"),
+      concat(lit("site"), (col("doc_id") % 50).cast("string"),
+        lit(".example.com")).as("host"))
+    val ranked =
+      if (!grouped) {
+        val w = Window.partitionBy(col("host")).orderBy(col("doc_id"))
+        base.withColumn("rnk", row_number().over(w).cast("long"))
+      } else {
+        val g = base.withColumn("grp", floor(col("doc_id") / groupSize))
+        val wLocal = Window.partitionBy(col("host"), col("grp")).orderBy(col("doc_id"))
+        val wOff = Window.partitionBy(col("host")).orderBy(col("grp"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = g.groupBy(col("host"), col("grp"))
+          .agg(count(lit(1)).as("gcnt"))
+          .withColumn("off", coalesce(sum(col("gcnt")).over(wOff), lit(0L)))
+          .select(col("host"), col("grp"), col("off"))
+        g.withColumn("lrnk", row_number().over(wLocal).cast("long"))
+          .join(offsets, Seq("host", "grp"))
+          .withColumn("rnk", col("off") + col("lrnk"))
+          .drop("grp", "lrnk", "off")
+      }
+    ranked
+      .withColumn("wave", floor((col("rnk") - 1) / perWave))
+      .withColumn("slot", pmod(col("rnk") - 1, lit(perWave.toLong)))
+      .select(col("doc_id"), col("host"), col("rnk"), col("wave"), col("slot"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------- curation funnel
 
   /** The end-to-end curation PIPELINE as one query — the FineWeb/
@@ -1644,6 +1693,14 @@ object CurationQueries {
         |       coalesce(cleaned_md5, md5('')) AS cleaned_md5
         |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    "q_crawl_frontier" ->
+      """SELECT doc_id, host, rnk, (rnk - 1) // 4 AS wave, (rnk - 1) % 4 AS slot
+        |FROM (
+        |  SELECT doc_id, 'site' || (doc_id % 50) || '.example.com' AS host,
+        |         row_number() OVER (PARTITION BY doc_id % 50 ORDER BY doc_id) AS rnk
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH a AS (
         |  SELECT doc_id, source, md5(text) AS dig
@@ -1772,5 +1829,6 @@ object CurationQueries {
     "q_dsir" -> (qDsir _),
     "q_curation_funnel" -> (qCurationFunnel _),
     "q_url_filter" -> (qUrlFilter _),
+    "q_crawl_frontier" -> ((s: SparkSession, d: String) => qCrawlFrontier(s, d)),
   )
 }

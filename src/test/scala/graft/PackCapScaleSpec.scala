@@ -65,6 +65,39 @@ class PackCapScaleSpec extends AnyFunSuite {
     assert(windowSpecs >= 2, s"expected local + offset windows:\n$plan")
   }
 
+  // ------------------------------------------------------- crawl frontier
+
+  test("frontier: grouped rank equals single window; wave cap holds") {
+    val grouped = CurationQueries.qCrawlFrontier(spark, sf, grouped = true, groupSize = 64L)
+    val single = CurationQueries.qCrawlFrontier(spark, sf, grouped = false)
+    assert(rowSet(grouped) == rowSet(single))
+    // politeness property: no (host, wave) exceeds perWave urls, and
+    // in-wave slots are distinct 0..k-1
+    val rows = grouped.collect().map(r =>
+      (r.getString(1), r.getLong(3), r.getLong(4)))
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((h, w), g) =>
+      assert(g.length <= 4, s"host $h wave $w over cap")
+      assert(g.map(_._3).toSet.size == g.length, s"host $h wave $w slot collision")
+      assert(g.forall(t => t._3 >= 0 && t._3 < 4))
+    }
+  }
+
+  test("frontier: hot host splits across groups and still ranks exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("frontierscale").toString
+    // all 1000 urls land on ONE host (doc_id multiples of 50 -> host site0)
+    val docs = (0 until 1000).map { i =>
+      (i.toLong * 50, "t", "en", "src", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val grouped = CurationQueries.qCrawlFrontier(spark, tmp, grouped = true, groupSize = 16L)
+    val single = CurationQueries.qCrawlFrontier(spark, tmp, grouped = false)
+    assert(rowSet(grouped) == rowSet(single))
+    // ranks are the dense 1..1000 sequence in doc_id order
+    val ranks = grouped.orderBy("doc_id").collect().map(_.getLong(2))
+    assert(ranks.toSeq == (1L to 1000L))
+  }
+
   // ---------------------------------------------------------- domain cap
 
   test("domain cap: salted prefilter equals plain window on sf0.001") {
