@@ -653,7 +653,10 @@ object CurationQueries {
     * operation order in both engines (the mix-weights discipline), so
     * the driver hash compares exactly. */
   def qClassifierEval(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
-    val conf = nbClassify(docs(spark, dir), vocabSize)
+    // the confusion matrix feeds TWO aggregations (by truth, by
+    // prediction); without a cut, each would re-run the whole NB
+    // train+apply pipeline — checkpoint the ≤ L²-row frame once
+    val conf = TrainingDataQueries.eagerCheckpoint(nbClassify(docs(spark, dir), vocabSize))
     val byTrue = conf.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_true"),
         sum(when(col("predicted") === col("source"), col("n_docs")).otherwise(0L)).as("n_correct"))
