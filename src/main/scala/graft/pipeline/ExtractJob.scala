@@ -65,6 +65,11 @@ object ExtractJob {
         * at 2+ waves; a resumed run reuses a completed staging (_SUCCESS),
         * and the dir is deleted after the final snapshot commit. */
       stageInput: Boolean = true,
+      /** Commit the run as an APPEND snapshot (merge-on-read) instead of a
+        * replacing one: existing rows stay visible and re-extracted urls
+        * resolve latest-wins via [[LineageTable.readLatest]]. The recrawl
+        * mode — see [[Recrawl]]. */
+      appendSnapshot: Boolean = false,
   )
 
   final case class Report(snapshotId: Long, wavesRun: Int, bucketsSkipped: Int, bucketsRun: Int)
@@ -231,7 +236,9 @@ object ExtractJob {
     val markers = table.markers(cfg.runId)
     val dataDirs = markers.map(m => String.valueOf(m("data_dir"))).distinct
     val lineageDirs = markers.map(m => String.valueOf(m("lineage_dir"))).distinct
-    val snapId = table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
+    val snapId =
+      if (cfg.appendSnapshot) table.appendCommit(dataDirs, lineageDirs, cfg.runId)
+      else table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
 
     // staging AND markers are scratch: drop both once the snapshot is
     // durable. Stale markers would let a rerun of this runId after GC
