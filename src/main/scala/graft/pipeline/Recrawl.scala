@@ -55,4 +55,32 @@ object Recrawl {
           cfg: ExtractJob.Config): ExtractJob.Report =
     ExtractJob.run(spark, pagesNeedingExtraction(prev, next),
       cfg.copy(appendSnapshot = true))
+
+  /** Retention for urls the new crawl no longer carries: tombstone their
+    * extraction rows so `readVisible`/`readLatest` stop serving them,
+    * while time-travel reads keep the history until compaction applies
+    * the tombstones physically. Because task ids are the deterministic
+    * name-UUID of the url ([[ExtractKernel.taskIdFor]]), retirement needs
+    * NO data scan — the gone-url list maps straight to task ids, and the
+    * digest diff that produces it never moved payloads either. Returns
+    * the number of urls retired. Call with the diff of the LAST k crawls
+    * if one missing crawl is considered too weak a death signal.
+    *
+    * Tombstones are a DRIVER-SIDE manifest, so this collects the gone-url
+    * list — bounded by `maxRetire` (loud error beyond it, never a silent
+    * truncation): tombstoning is the small-churn path. A crawl that drops
+    * a large url fraction should instead rewrite via
+    * `LineageTable.compact` filtered by an anti-join against the new
+    * crawl's url set — a fully distributed physical delete. */
+  def retireGone(table: graft.table.LineageTable,
+                 prev: Dataset[Page], next: Dataset[Page],
+                 maxRetire: Int = 100000): Long = {
+    val gone = diff(prev, next).where(col("status") === "gone")
+      .select(col("url")).limit(maxRetire + 1).collect().map(_.getString(0))
+    require(gone.length <= maxRetire,
+      s"more than $maxRetire gone urls — mass retirement must go through a " +
+        "compaction rewrite (anti-join), not driver-side tombstones")
+    gone.foreach(u => table.deleteTask(ExtractKernel.taskIdFor(u)))
+    gone.length.toLong
+  }
 }

@@ -97,5 +97,24 @@ class RecrawlSpec extends AnyFunSuite {
     assert(plan.contains("Join FullOuter, (url"), plan)
     assert(!plan.linesIterator.takeWhile(!_.contains("Join")).mkString.contains("html#"),
       s"payload column above the join:\n$plan")
+
+    // retention: tombstone gone urls — visible reads drop them with NO
+    // data scan (task id = name-UUID of the url), history stays readable
+    val retired = Recrawl.retireGone(table, ds(a), ds(b))
+    assert(retired == gone.size.toLong)
+    val visible = table.readLatest(spark, versionCol = "warc_ts")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(visible == (aUrls -- gone.map(_.url)) ++ added.map(_.url))
+    // time travel to the pre-recrawl snapshot still serves crawl A intact
+    assert(table.readAt(spark, repA.snapshotId).count() == a.size.toLong)
+  }
+
+  test("mass retirement refuses driver-side tombstones") {
+    val root = Files.createTempDirectory("graft-recrawl-mass-").toString
+    val table = new LineageTable(root, 8)
+    val a = CorpusGen.pages(40).groupBy(_.url).values.map(_.maxBy(_.warc_ts.getTime)).toSeq
+    val ex = intercept[IllegalArgumentException](
+      Recrawl.retireGone(table, ds(a), ds(Seq.empty[Page]), maxRetire = 10))
+    assert(ex.getMessage.contains("compaction"))
   }
 }
