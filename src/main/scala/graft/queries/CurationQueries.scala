@@ -1158,6 +1158,126 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------ robots filter
+
+  /** robots.txt gate — the politeness rule layer BETWEEN the url gate
+    * ([[qUrlFilter]]) and the frontier scheduler ([[qCrawlFrontier]]):
+    * a crawler must honor per-host allow/disallow prefix rules with the
+    * REP longest-match-wins semantics (RFC 9309 §2.2.2; on equal-length
+    * allow and disallow, allow wins). The per-host rule table is
+    * deterministic from the host index so both engines build it in
+    * lockstep: even hosts disallow `/private`, every 4th host re-allows
+    * `/private/open` beneath it (the nested-override case), every 5th
+    * host ALSO allows `/private` verbatim — so hosts ≡ 0 (mod 10) carry
+    * an equal-length allow/disallow pair and exercise the RFC tie-break —
+    * and hosts ≡ 7 (mod 10) disallow `/` (the full block). Paths cycle
+    * through five shapes covering nested-allow, exact-prefix, and
+    * no-match.
+    *
+    * 100 TB shape: the fetched robots table is per-HOST (web hosts number
+    * ~1e8-1e9 rows of a few rules each — GBs, and per-crawl-shard slices
+    * are MBs), grouped to one array row per host and BROADCAST; the
+    * frontier side is then a broadcast hash join plus a per-row
+    * `aggregate` fold over the matched rules — map-only, no frontier
+    * shuffle at any corpus size (PlanSpec-pinned: BroadcastHashJoin, no
+    * SortMergeJoin, no Exchange below the presentation sort). */
+  def qRobotsFilter(spark: SparkSession, dir: String): DataFrame = {
+    // the per-host rule table a robots fetcher would have produced
+    val rules = spark.range(50)
+      .select(
+        concat(lit("site"), col("id").cast("string"),
+          lit(".example.com")).as("host"),
+        expr(
+          """filter(array(
+            |  if(id % 2 = 0, named_struct('prefix', '/private', 'allow', false),
+            |     cast(null as struct<prefix:string,allow:boolean>)),
+            |  if(id % 4 = 0, named_struct('prefix', '/private/open', 'allow', true),
+            |     cast(null as struct<prefix:string,allow:boolean>)),
+            |  if(id % 5 = 0, named_struct('prefix', '/private', 'allow', true),
+            |     cast(null as struct<prefix:string,allow:boolean>)),
+            |  if(id % 10 = 7, named_struct('prefix', '/', 'allow', false),
+            |     cast(null as struct<prefix:string,allow:boolean>))
+            |), r -> r is not null)""".stripMargin).as("rules"))
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        concat(lit("site"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com")).as("host"),
+        // path shape keyed off (doc_id div 50) so it DECORRELATES from the
+        // host index (doc_id % 50): every host sees all five shapes
+        expr(
+          """CASE cast((doc_id div 50) % 5 AS int)
+            |  WHEN 0 THEN '/private/x' || doc_id
+            |  WHEN 1 THEN '/private/open/' || doc_id
+            |  WHEN 2 THEN '/public/' || doc_id
+            |  WHEN 3 THEN '/private'
+            |  ELSE '/' END""".stripMargin).as("path"))
+      .join(broadcast(rules), Seq("host"))
+      // longest matching prefix wins; equal length -> allow wins (RFC 9309)
+      .withColumn("best", expr(
+        """aggregate(filter(rules, r -> startswith(path, r.prefix)),
+          |          cast(null as struct<prefix:string,allow:boolean>),
+          |          (a, r) -> if(a is null
+          |                       or length(r.prefix) > length(a.prefix)
+          |                       or (length(r.prefix) = length(a.prefix) and r.allow),
+          |                       r, a))""".stripMargin))
+      .select(
+        col("doc_id"), col("host"), col("path"),
+        coalesce(col("best.prefix"), lit("")).as("rule"),
+        coalesce(col("best.allow"), lit(true)).as("allowed"))
+      .orderBy(col("doc_id"))
+  }
+
+  // --------------------------------------------------------- CDX index
+
+  /** CDX capture index — the Common-Crawl-native lookup artifact (one row
+    * per capture, keyed by SURT + timestamp) plus the revisit
+    * classification a deduplicating crawler emits: first capture of a
+    * url is `new`, a capture whose payload digest equals the PREVIOUS
+    * capture's is `revisit` (CDX `warc/revisit` records), otherwise
+    * `changed`. Captures are synthesized deterministically: doc_id % 101
+    * picks the url (101 urls — so the driver's 500-doc correctness corpus
+    * already carries ~5 captures per url), doc_id div 101 is the crawl
+    * sequence, and the payload
+    * digest changes every second crawl — so every classification arises
+    * and the new/revisit/changed alternation is hard-checked
+    * cross-engine. The SURT key (reversed host labels + path) is what
+    * makes the sorted index range-scannable by domain suffix.
+    *
+    * 100 TB shape: map-only synthesis + ONE window partitioned by url —
+    * and a per-url partition is bounded by the CRAWL COUNT (a url is
+    * captured once per crawl; corpus growth adds urls, not captures per
+    * url), so the lag window never concentrates data the way a
+    * per-language window would. The final (surt, ts) sort is the point
+    * of the artifact: CDX files are consumed as sorted runs, and Spark's
+    * range partitioner samples the key space so the sort is balanced. */
+  def qCdxIndex(spark: SparkSession, dir: String,
+                urlSpace: Long = 101L): DataFrame = {
+    val caps = docs(spark, dir).select(
+      col("doc_id"),
+      expr(s"doc_id % $urlSpace").as("uk"),
+      expr(s"doc_id div $urlSpace").as("seq"))
+      .withColumn("host",
+        concat(lit("site"), pmod(col("uk"), lit(50L)).cast("string"),
+          lit(".example.com")))
+      .withColumn("surt",
+        concat(concat_ws(",", reverse(split(col("host"), "\\."))),
+          lit(")/page"), col("uk").cast("string")))
+      .withColumn("ts", lit(1704067200L) + col("seq") * 86400L + col("uk"))
+      .withColumn("digest",
+        md5(concat(col("surt"), lit("#"),
+          expr("seq div 2").cast("string")).cast("binary")))
+    val w = Window.partitionBy(col("uk")).orderBy(col("ts"))
+    caps
+      .withColumn("prev", lag(col("digest"), 1).over(w))
+      .select(
+        col("doc_id"), col("surt"), col("ts"), col("digest"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("digest"), "revisit")
+          .otherwise("changed").as("status"))
+      .orderBy(col("surt"), col("ts"))
+  }
+
   // ---------------------------------------------------- curation funnel
 
   /** The end-to-end curation PIPELINE as one query — the FineWeb/
@@ -1704,6 +1824,67 @@ object CurationQueries {
         |  FROM documents
         |) ORDER BY doc_id""".stripMargin,
 
+    // RFC 9309 longest-match resolution mirrored as a rank-1 window over
+    // the matched (host, prefix) join; equal length -> allow DESC wins
+    "q_robots_filter" ->
+      """WITH hosts AS (
+        |  SELECT range AS h, 'site' || range || '.example.com' AS host FROM range(50)
+        |), rules AS (
+        |  SELECT host, '/private' AS prefix, false AS allow FROM hosts WHERE h % 2 = 0
+        |  UNION ALL
+        |  SELECT host, '/private/open', true FROM hosts WHERE h % 4 = 0
+        |  UNION ALL
+        |  SELECT host, '/private', true FROM hosts WHERE h % 5 = 0
+        |  UNION ALL
+        |  SELECT host, '/', false FROM hosts WHERE h % 10 = 7
+        |), u AS (
+        |  SELECT doc_id,
+        |         'site' || (doc_id % 50) || '.example.com' AS host,
+        |         CASE (doc_id // 50) % 5
+        |           WHEN 0 THEN '/private/x' || doc_id
+        |           WHEN 1 THEN '/private/open/' || doc_id
+        |           WHEN 2 THEN '/public/' || doc_id
+        |           WHEN 3 THEN '/private'
+        |           ELSE '/' END AS path
+        |  FROM documents
+        |), m AS (
+        |  SELECT u.doc_id, r.prefix, r.allow,
+        |         row_number() OVER (PARTITION BY u.doc_id
+        |                            ORDER BY length(r.prefix) DESC, r.allow DESC) AS rn
+        |  FROM u JOIN rules r ON u.host = r.host AND starts_with(u.path, r.prefix)
+        |)
+        |SELECT u.doc_id, u.host, u.path,
+        |       coalesce(m.prefix, '') AS rule,
+        |       coalesce(m.allow, true) AS allowed
+        |FROM u LEFT JOIN m ON u.doc_id = m.doc_id AND m.rn = 1
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "q_cdx_index" ->
+      """WITH caps AS (
+        |  SELECT doc_id, doc_id % 101 AS uk, doc_id // 101 AS seq,
+        |         'site' || ((doc_id % 101) % 50) || '.example.com' AS host
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, uk, seq,
+        |         array_to_string(list_reverse(string_split(host, '.')), ',')
+        |           || ')/page' || uk AS surt,
+        |         1704067200 + seq * 86400 + uk AS ts
+        |  FROM caps
+        |), digd AS (
+        |  SELECT doc_id, uk, surt, ts::BIGINT AS ts,
+        |         md5(surt || '#' || (seq // 2)) AS digest
+        |  FROM keyed
+        |), lagd AS (
+        |  SELECT doc_id, surt, ts, digest,
+        |         lag(digest) OVER (PARTITION BY uk ORDER BY ts) AS prev
+        |  FROM digd
+        |)
+        |SELECT doc_id, surt, ts, digest,
+        |       CASE WHEN prev IS NULL THEN 'new'
+        |            WHEN prev = digest THEN 'revisit'
+        |            ELSE 'changed' END AS status
+        |FROM lagd ORDER BY surt, ts""".stripMargin,
+
     "q_snapshot_diff" ->
       """WITH a AS (
         |  SELECT doc_id, source, md5(text) AS dig
@@ -1833,5 +2014,7 @@ object CurationQueries {
     "q_curation_funnel" -> (qCurationFunnel _),
     "q_url_filter" -> (qUrlFilter _),
     "q_crawl_frontier" -> ((s: SparkSession, d: String) => qCrawlFrontier(s, d)),
+    "q_robots_filter" -> (qRobotsFilter _),
+    "q_cdx_index" -> ((s: SparkSession, d: String) => qCdxIndex(s, d)),
   )
 }

@@ -456,6 +456,83 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("robots filter: RFC 9309 longest-match with allow-wins tie-break") {
+    val rows = CurationQueries.qRobotsFilter(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getBoolean(4)))
+    assert(rows.length == 500)
+    // independent Scala re-resolution of the rule table
+    def rulesFor(h: Long): Seq[(String, Boolean)] = Seq(
+      if (h % 2 == 0) Some("/private" -> false) else None,
+      if (h % 4 == 0) Some("/private/open" -> true) else None,
+      if (h % 5 == 0) Some("/private" -> true) else None,
+      if (h % 10 == 7) Some("/" -> false) else None,
+    ).flatten
+    rows.foreach { case (id, host, path, rule, allowed) =>
+      val h = id % 50
+      assert(host == s"site$h.example.com")
+      val matches = rulesFor(h).filter { case (p, _) => path.startsWith(p) }
+      val best = matches.sortBy { case (p, a) => (-p.length, !a) }.headOption
+      assert(rule == best.map(_._1).getOrElse(""), s"doc $id path $path")
+      assert(allowed == best.forall(_._2), s"doc $id path $path")
+    }
+    // the interesting cases actually occur on this corpus:
+    // equal-length allow/disallow pair -> allow wins (hosts = 0 mod 10)
+    val tie = rows.filter(r => r._1 % 50 % 10 == 0 && r._3.startsWith("/private") &&
+      !r._3.startsWith("/private/open"))
+    assert(tie.nonEmpty && tie.forall(r => r._4 == "/private" && r._5), tie.take(3).mkString)
+    // nested allow under a disallow (longest match wins)
+    val nested = rows.filter(r => r._1 % 50 % 4 == 0 && r._3.startsWith("/private/open"))
+    assert(nested.nonEmpty && nested.forall(r => r._4 == "/private/open" && r._5))
+    // full-block host: bare '/' is disallowed
+    val block = rows.filter(r => r._1 % 50 % 10 == 7 && r._3 == "/")
+    assert(block.nonEmpty && block.forall(r => r._4 == "/" && !r._5))
+    // no matching rule -> allowed with empty rule
+    val open = rows.filter(r => r._1 % 50 % 2 == 1 && r._1 % 50 % 10 != 7 && r._3.startsWith("/public"))
+    assert(open.nonEmpty && open.forall(r => r._4 == "" && r._5))
+  }
+
+  test("robots filter plan: rule table broadcasts, frontier never shuffles") {
+    val plan = CurationQueries.qRobotsFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rules not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"frontier side shuffled:\n$plan")
+    // the only exchange is the presentation sort's range partitioning
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("rangepartitioning") || l.contains("Broadcast")),
+      s"unexpected exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("cdx index: new/revisit/changed alternation per url, surt-sorted") {
+    // dense url space so every url carries ~70 captures at sf0.001
+    val rows = CurationQueries.qCdxIndex(spark, sf, urlSpace = 7L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3), r.getString(4)))
+    assert(rows.length == 500)
+    // output ordering IS the artifact: sorted by (surt, ts)
+    assert(rows.map(r => (r._2, r._3)).sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 < b._2); case _ => true
+    })
+    rows.foreach { case (id, surt, _, _, status) =>
+      val uk = id % 7
+      assert(surt == s"com,example,site$uk)/page$uk", surt)
+      val seq = id / 7
+      // digest version = seq div 2: seq 0 new, odd seq revisit, even>0 changed
+      val expect = if (seq == 0L) "new" else if (seq % 2 == 1) "revisit" else "changed"
+      assert(status == expect, s"doc $id seq $seq")
+    }
+    // all three classifications occur
+    assert(rows.map(_._5).toSet == Set("new", "revisit", "changed"))
+    // a revisit shares its digest with the previous capture; a change doesn't
+    rows.groupBy(_._1 % 7).values.foreach { caps =>
+      caps.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) =>
+          if (b._5 == "revisit") assert(a._4 == b._4)
+          else if (b._5 == "changed") assert(a._4 != b._4)
+        case _ =>
+      }
+    }
+  }
+
   // -------------------------------------------------- classifier calibration
 
   test("classifier eval: metrics recompute from the confusion matrix") {
