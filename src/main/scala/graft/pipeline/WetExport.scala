@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.model.{ConversionOptions, OutputFormat, Page}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** WARC → WET batch conversion — the canonical crawl text product
+  * (Common Crawl publishes exactly this pairing: response-record WARC
+  * segments plus `conversion`-record WET segments carrying the extracted
+  * plain text). One job = `read.format("warc")` → extraction kernel →
+  * `write.format("warc")`: both ends are the DataSource V2 source/sink,
+  * so the job inherits their scale shapes verbatim — one gz member per
+  * input partition (the crawl's own sharding is the parallelism), task
+  * -temp + driver-rename commit on the output with job-unique segment
+  * names (re-running an export never clobbers a previous one).
+  *
+  * WET payload semantics are the text export (T5, the reference's
+  * transcribe.py text serializer) regardless of the caller's
+  * `output_format` — WET is BY DEFINITION the plain-text product; the
+  * option is overridden rather than require()d so callers can pass their
+  * job-wide options object unchanged. Only `status = completed` rows
+  * publish: an unparsable page has no text product (the error envelope
+  * belongs in the lineage table, not the WET artifact). url + warc_ts
+  * carry over unchanged, so a WET record joins back to its WARC capture
+  * exactly (the sink formats WARC-Date from the Catalyst micros — sub
+  * -millisecond exact).
+  */
+object WetExport {
+
+  /** Convert every response record under `warcDir` into WET conversion
+    * records under `wetDir`. Read the output back with
+    * `spark.read.format("warc").option("all_records", "true")` —
+    * conversion records are not pages, so the default (response-only)
+    * read mode deliberately sees none of them. */
+  def run(spark: SparkSession, warcDir: String, wetDir: String,
+          options: ConversionOptions = ConversionOptions()): Unit = {
+    import spark.implicits._
+    val pages = spark.read.format("warc").load(warcDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit("").as("text"), lit("en").as("lang"))
+      .as[Page]
+    val results = ExtractKernel.extract(
+      pages, options.copy(outputFormat = OutputFormat.Text))(spark)
+    results.toDF()
+      .where(col("status") === "completed")
+      .select(col("url"), col("warc_ts"),
+        lit("conversion").as("record_type"),
+        lit("text/plain").as("content_type"),
+        col("content").cast("binary").as("html"))
+      .write.format("warc").mode("append").save(wetDir)
+  }
+}
