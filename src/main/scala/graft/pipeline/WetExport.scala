@@ -41,12 +41,29 @@ object WetExport {
       .as[Page]
     val results = ExtractKernel.extract(
       pages, options.copy(outputFormat = OutputFormat.Text))(spark)
-    results.toDF()
+    publish(results.toDF(), wetDir)
+  }
+
+  /** Re-publish WET segments from a COMMITTED lineage table — the
+    * operational path when the extraction already ran ([[ExtractJob]] /
+    * [[graft.streaming.StreamingExtract.runWarcToTable]]): no kernel
+    * recompute, just latest-wins visible rows → conversion records. The
+    * payload is the table's stored `content`, so the WET format
+    * discipline belongs to the extraction job's config — run it with
+    * `output_format = text` when the table feeds WET publication (this
+    * method cannot re-derive text from a markdown-formatted table; it
+    * faithfully publishes what was committed). */
+  def fromTable(spark: SparkSession, table: graft.table.LineageTable,
+                wetDir: String): Unit =
+    publish(table.readLatest(spark, versionCol = "warc_ts"), wetDir)
+
+  private def publish(results: org.apache.spark.sql.DataFrame,
+                      wetDir: String): Unit =
+    results
       .where(col("status") === "completed")
       .select(col("url"), col("warc_ts"),
         lit("conversion").as("record_type"),
         lit("text/plain").as("content_type"),
         col("content").cast("binary").as("html"))
       .write.format("warc").mode("append").save(wetDir)
-  }
 }

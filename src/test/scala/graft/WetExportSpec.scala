@@ -44,6 +44,30 @@ class WetExportSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == direct)
   }
 
+  test("wet from table: committed extractions re-publish without recompute") {
+    val s = spark
+    import s.implicits._
+    val pages = CorpusGen.pages(40)
+    val root = Files.createTempDirectory("graft-wet-table-").toString
+    val cfg = graft.pipeline.ExtractJob.Config(root, "wet-run", numBuckets = 8,
+      options = ConversionOptions(outputFormat = OutputFormat.Text))
+    graft.pipeline.ExtractJob.run(spark, spark.createDataset(pages), cfg)
+    val table = new graft.table.LineageTable(root, 8)
+    val wetDir = Files.createTempDirectory("graft-wet-table-out-").toString
+
+    WetExport.fromTable(spark, table, wetDir)
+
+    val got = spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](4), "UTF-8")))
+      .sorted.toSeq
+    val want = table.readLatest(spark, versionCol = "warc_ts")
+      .where(org.apache.spark.sql.functions.col("status") === "completed")
+      .select("url", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("wet export appends: a re-export never clobbers prior segments") {
     val pages = CorpusGen.pages(30)
     val warcDir = Files.createTempDirectory("graft-wet-in2-").toString
