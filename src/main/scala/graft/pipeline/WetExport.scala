@@ -57,13 +57,21 @@ object WetExport {
                 wetDir: String): Unit =
     publish(table.readLatest(spark, versionCol = "warc_ts"), wetDir)
 
-  private def publish(results: org.apache.spark.sql.DataFrame,
-                      wetDir: String): Unit =
-    results
+  /** Publish one extracted frame as WET segments. `jobUid`, when given,
+    * pins the sink's segment names (`part-NNNNN-<jobUid>.warc.gz`) so a
+    * REPLAY of the same logical write replaces exactly its own segments —
+    * the exactly-once hook [[graft.streaming.StreamingExtract
+    * .runWarcToWet]] uses with uid = f(streamRunId, batchId). */
+  private[graft] def publish(results: org.apache.spark.sql.DataFrame,
+                             wetDir: String,
+                             jobUid: Option[String] = None): Unit = {
+    val w = results
       .where(col("status") === "completed")
       .select(col("url"), col("warc_ts"),
         lit("conversion").as("record_type"),
         lit("text/plain").as("content_type"),
         col("content").cast("binary").as("html"))
-      .write.format("warc").mode("append").save(wetDir)
+      .write.format("warc").mode("append")
+    jobUid.fold(w)(u => w.option("job_uid", u)).save(wetDir)
+  }
 }

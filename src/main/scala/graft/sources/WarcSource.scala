@@ -151,7 +151,11 @@ private[sources] class WarcTable(paths: Seq[String], allRecords: Boolean, failFa
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder = {
     require(paths.size == 1, s"warc write needs exactly one target directory, got $paths")
-    new WarcWriteBuilder(paths.head, info.schema())
+    val uid = Option(info.options.get("job_uid"))
+    uid.foreach(u => require(u.nonEmpty && u.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '.' || c == '_'),
+      s"job_uid must be a non-empty filename-safe token, got '$u'"))
+    new WarcWriteBuilder(paths.head, info.schema(), uid)
   }
 }
 
@@ -519,23 +523,32 @@ private[sources] class WarcPartitionReader(file: String, fields: Array[String],
   * the same name); distinct jobs can never collide. Input must carry the
   * full read schema (url, warc_ts, record_type, content_type, html) —
   * select/alias before writing. */
-private[sources] class WarcWriteBuilder(dir: String, schema: StructType)
+private[sources] class WarcWriteBuilder(dir: String, schema: StructType,
+    explicitUid: Option[String])
     extends org.apache.spark.sql.connector.write.WriteBuilder {
-  override def build(): org.apache.spark.sql.connector.write.Write = new WarcWrite(dir, schema)
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new WarcWrite(dir, schema, explicitUid)
 }
 
 private[sources] final case class WarcCommitMessage(tmp: String, partition: Int, n: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class WarcWrite(dir: String, schema: StructType)
+private[sources] class WarcWrite(dir: String, schema: StructType,
+    explicitUid: Option[String] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   // chosen once on the DRIVER at write-job construction; serialized into
   // the factory so tasks name temps consistently (see class doc: this is
-  // what makes mode("append") actually append)
-  private val jobUid: String = java.util.UUID.randomUUID().toString.substring(0, 8)
+  // what makes mode("append") actually append). `option("job_uid", ...)`
+  // overrides it for CALLER-MANAGED idempotence: a replayed logical job
+  // writing the same uid replaces exactly its own prior segments (the
+  // exactly-once hook for streaming foreachBatch publication, uid =
+  // f(streamRunId, batchId)); the caller owns uniqueness ACROSS logical
+  // jobs — reusing a uid across different data is a deliberate overwrite
+  private val jobUid: String =
+    explicitUid.getOrElse(java.util.UUID.randomUUID().toString.substring(0, 8))
   // driver conf snapshot for executor-side file IO (same rationale as the
   // read path — see WarcSource.confSnapshot)
   private val confKvs = WarcSource.confSnapshot(

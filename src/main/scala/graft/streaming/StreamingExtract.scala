@@ -133,6 +133,42 @@ object StreamingExtract extends Serializable {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** The streaming WARC → WET pipeline: crawl segments appear under
+    * `warcDir`, only the delta extracts (the warc streaming source's
+    * high-water offset), and each micro-batch publishes its WET
+    * conversion segments EXACTLY ONCE — the sink's `job_uid` option is
+    * pinned to (streamRunId, batchId), so a batch replayed after a crash
+    * renames onto the same final segment names instead of duplicating
+    * them (overwrite-idempotent; distinct batches can never collide).
+    * WET payload discipline is [[graft.pipeline.WetExport]]'s: text
+    * export forced, completed rows only. */
+  def runWarcToWet(
+      spark: SparkSession,
+      warcDir: String,
+      wetDir: String,
+      checkpointDir: String,
+      options: ConversionOptions = ConversionOptions(),
+      streamRunId: String = "wet-stream",
+      availableNow: Boolean = true,
+  ): StreamingQuery = {
+    import spark.implicits._
+    val pages: Dataset[Page] = spark.readStream.format("warc").load(warcDir)
+      .select(col("url"), col("warc_ts"), col("html"),
+        lit("").as("text"), lit("en").as("lang"))
+      .as[Page]
+    val results = ExtractKernel.extract(
+      pages, options.copy(outputFormat = graft.model.OutputFormat.Text))(spark).toDF()
+    val writer = results.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.WetExport.publish(batch, wetDir,
+          jobUid = Some(s"$streamRunId-b$batchId"))
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Commit one extracted micro-batch as a table snapshot. Returns false
     * (and writes nothing) when this (streamRunId, batchId) already
     * committed — the replay-after-crash path. Single-writer per table, as

@@ -68,6 +68,76 @@ class WetExportSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("sink job_uid: a replayed write replaces its own segments exactly") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-wet-uid-").toString
+    val ts = new java.sql.Timestamp(1735689600000L)
+    def df(n: Int) = (0 until n).map(i => (s"https://u$i.example/", ts,
+      "conversion", "text/plain", s"body $i".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "record_type", "content_type", "html")
+
+    def count() = spark.read.format("warc").option("all_records", "true")
+      .load(dir).count()
+
+    df(10).repartition(2).write.format("warc").mode("append")
+      .option("job_uid", "run1-b0").save(dir)
+    assert(count() == 10)
+    // the replay: same uid -> same final names -> replaced, not duplicated
+    df(10).repartition(2).write.format("warc").mode("append")
+      .option("job_uid", "run1-b0").save(dir)
+    assert(count() == 10)
+    // a DIFFERENT logical job appends alongside
+    df(10).repartition(2).write.format("warc").mode("append")
+      .option("job_uid", "run1-b1").save(dir)
+    assert(count() == 20)
+    // unsafe uid is rejected loudly before anything writes
+    val ex = intercept[Exception](df(1).write.format("warc").mode("append")
+      .option("job_uid", "a/b").save(dir))
+    assert(ex.getMessage.contains("filename-safe") ||
+      Option(ex.getCause).exists(_.getMessage.contains("filename-safe")), ex.getMessage)
+  }
+
+  test("streaming warc -> wet: delta-only, exactly-once across restarts") {
+    val s = spark
+    import s.implicits._
+    val pages = CorpusGen.pages(40)
+    val (first, rest) = pages.splitAt(25)
+    val warcDir = Files.createTempDirectory("graft-wet-stream-in-").toString
+    val wetDir = Files.createTempDirectory("graft-wet-stream-out-").toString
+    val cp = Files.createTempDirectory("graft-wet-stream-cp-").toString
+    WarcGen.writeFiles(warcDir, first, perFile = 10, gzipped = true)
+
+    graft.streaming.StreamingExtract.runWarcToWet(spark, warcDir, wetDir, cp)
+      .awaitTermination(120000)
+    val c1 = spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).count()
+    assert(c1 > 0)
+
+    // restart with NO new input: nothing republishes
+    graft.streaming.StreamingExtract.runWarcToWet(spark, warcDir, wetDir, cp)
+      .awaitTermination(120000)
+    assert(spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).count() == c1)
+
+    // new crawl segments appear; restart converts ONLY the delta
+    WarcGen.writeFiles(warcDir, rest, perFile = 10, gzipped = true, startIndex = 10)
+    graft.streaming.StreamingExtract.runWarcToWet(spark, warcDir, wetDir, cp)
+      .awaitTermination(120000)
+    val got = spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        new String(r.getAs[Array[Byte]](4), "UTF-8"))).sorted.toSeq
+
+    // stream == batch parity: the full corpus through the batch job
+    val direct = ExtractKernel.extract(spark.createDataset(pages),
+        ConversionOptions(outputFormat = OutputFormat.Text))(spark)
+      .collect()
+      .filter(_.status == "completed")
+      .map(r => (r.url, r.warc_ts.getTime, r.content)).sorted.toSeq
+    assert(got == direct)
+  }
+
   test("wet export appends: a re-export never clobbers prior segments") {
     val pages = CorpusGen.pages(30)
     val warcDir = Files.createTempDirectory("graft-wet-in2-").toString
