@@ -914,17 +914,27 @@ object CurationQueries {
 
   /** Apply a precomputed merge table (see [[bpeMergeTable]] — encode must
     * not re-run the training loop when the table is already learned). */
-  def bpeEncodeWith(d: DataFrame, table: Seq[(Int, String, String, Long)],
-      merges: Int): DataFrame = {
+  /** The per-doc BPE encode as ONE nested SQL expression: symbol-split
+    * eligible words, then the learned merges replayed as literal
+    * `replace` chains (symbols proven [a-z0-9]+ by bpeMergeList's
+    * require — literal-safe). Shared by [[bpeEncodeWith]] and
+    * [[qTokenFertility]] so the encode semantics cannot fork. */
+  private def bpeEncExpr(table: Seq[(Int, String, String, Long)],
+      merges: Int): String = {
     // the unrolled oracle replays exactly `merges` rounds — an exhausted
     // corpus (fewer learnable merges) must fail loud, not silently diverge
     require(table.size == merges, s"corpus exhausted after ${table.size}/$merges merges")
     var enc = "array_join(transform(filter(split(lower(text), '\\\\s+')," +
       " w -> w rlike '^[a-z0-9]+$'), w -> regexp_replace(w, '(.)', '($1)')), ' ')"
     table.foreach { case (_, l, r, _) =>
-      // symbols proven [a-z0-9]+ by bpeMergeList's require — literal-safe
       enc = s"replace($enc, '($l)($r)', '($l$r)')"
     }
+    enc
+  }
+
+  def bpeEncodeWith(d: DataFrame, table: Seq[(Int, String, String, Long)],
+      merges: Int): DataFrame = {
+    val enc = bpeEncExpr(table, merges)
     d.select(col("doc_id"),
         size(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$")))
           .cast("long").as("n_words"),
@@ -933,6 +943,51 @@ object CurationQueries {
         (length(col("enc")) - length(regexp_replace(col("enc"), "\\(", ""))).cast("long").as("n_tokens"),
         md5(col("enc").cast("binary")).as("enc_md5"))
       .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------ token fertility
+
+  /** Tokenizer fertility per language — the dataset-card metric a
+    * tokenizer-training run reports before a corpus ships (Rust et al.
+    * 2021 "How Good is Your Tokenizer?" popularized fertility =
+    * tokens/word as THE cross-lingual tokenizer-quality number; a
+    * language with outsized fertility burns context window and skews the
+    * token mix): per lang, docs / eligible words / BPE tokens / symbol
+    * chars, with `fertility_r` (tokens per word) and `chars_per_token_r`
+    * rounded to 4 places (rounded-operand IEEE discipline, the q_dsir
+    * convention).
+    *
+    * 100 TB shape: the merge table is learned once and cached per
+    * (applicationId, dir, merges) — the q_bpe_encode discipline; the
+    * encode replay is ONE map-only nested-replace expression
+    * ([[bpeEncExpr]], shared with q_bpe_encode so the semantics cannot
+    * fork); the aggregation is a ≤#langs-key groupBy with map-side
+    * combine. Nothing shuffles but (lang, 3 longs) partials. */
+  def qTokenFertility(spark: SparkSession, dir: String, merges: Int = 10): DataFrame = {
+    val enc = bpeEncExpr(bpeMergeTable(spark, dir, merges), merges)
+    docs(spark, dir)
+      .select(col("lang"),
+        size(filter(split(lower(col("text")), "\\s+"), w => w.rlike("^[a-z0-9]+$")))
+          .cast("long").as("w"),
+        expr("aggregate(filter(split(lower(text), '\\\\s+'), " +
+          "w -> w rlike '^[a-z0-9]+$'), 0L, (a, w) -> a + length(w))").as("c"),
+        expr(enc).as("enc"))
+      .select(col("lang"), col("w"), col("c"),
+        (length(col("enc")) - length(regexp_replace(col("enc"), "\\(", "")))
+          .cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("n_words"),
+        sum(col("t")).as("n_tokens"),
+        sum(col("c")).as("n_chars"))
+      .withColumn("fertility_r",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_tokens").cast("double") / col("n_words"), 4)))
+      .withColumn("chars_per_token_r",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(col("n_chars").cast("double") / col("n_tokens"), 4)))
+      .orderBy(col("lang"))
   }
 
   // ----------------------------------------------------------- oracle SQL
@@ -1008,6 +1063,48 @@ object CurationQueries {
        |       (length(enc) - length(replace(enc, '(', '')))::BIGINT AS n_tokens,
        |       md5(enc) AS enc_md5
        |FROM e$merges ORDER BY doc_id""".stripMargin
+  }
+
+  /** Same trained-merge CTE chain as [[bpeEncodeOracle]], carrying `lang`
+    * through the encode rounds and aggregating per language — the two
+    * oracles share bpeCtes so the training replay cannot drift. */
+  private def tokenFertilityOracle(merges: Int): String = {
+    val applies = (1 to merges).map { k =>
+      s"""f$k AS (
+         |  SELECT lang, n_words, n_chars,
+         |         replace(enc, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                 '(' || b.lhs || b.rhs || ')') AS enc
+         |  FROM f${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${bpeCtes(merges)},
+       |f0 AS (
+       |  SELECT lang,
+       |         len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                         w -> regexp_matches(w, '^[a-z0-9]+$$')))::BIGINT AS n_words,
+       |         coalesce(list_sum(list_transform(
+       |           list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       w -> regexp_matches(w, '^[a-z0-9]+$$')),
+       |           w -> length(w))), 0)::BIGINT AS n_chars,
+       |         array_to_string(list_transform(
+       |           list_filter(string_split_regex(lower(text), '\\s+'),
+       |                       w -> regexp_matches(w, '^[a-z0-9]+$$')),
+       |           w -> regexp_replace(w, '(.)', '(\\1)', 'g')), ' ') AS enc
+       |  FROM documents
+       |),
+       |$applies,
+       |agg AS (
+       |  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_words,
+       |         sum(length(enc) - length(replace(enc, '(', '')))::BIGINT AS n_tokens,
+       |         sum(n_chars)::BIGINT AS n_chars
+       |  FROM f$merges GROUP BY 1
+       |)
+       |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+       |       CASE WHEN n_words = 0 THEN 0.0
+       |            ELSE round(n_tokens::DOUBLE / n_words, 4) END AS fertility_r,
+       |       CASE WHEN n_tokens = 0 THEN 0.0
+       |            ELSE round(n_chars::DOUBLE / n_tokens, 4) END AS chars_per_token_r
+       |FROM agg ORDER BY lang""".stripMargin
   }
 
   // ------------------------------------------------------- URL normalization
@@ -1612,6 +1709,7 @@ object CurationQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_bpe_merges" -> bpeOracle(10),
     "q_bpe_encode" -> bpeEncodeOracle(10),
+    "q_token_fertility" -> tokenFertilityOracle(10),
 
     // Naive Bayes reproduced in SQL: same top-256 vocab (count desc, word
     // tiebreak), Laplace-smoothed integer-log2 weights, per-doc argmax via
@@ -2016,5 +2114,6 @@ object CurationQueries {
     "q_crawl_frontier" -> ((s: SparkSession, d: String) => qCrawlFrontier(s, d)),
     "q_robots_filter" -> (qRobotsFilter _),
     "q_cdx_index" -> ((s: SparkSession, d: String) => qCdxIndex(s, d)),
+    "q_token_fertility" -> ((s: SparkSession, d: String) => qTokenFertility(s, d)),
   )
 }

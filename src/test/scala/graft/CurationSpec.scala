@@ -522,6 +522,14 @@ class CurationSpec extends AnyFunSuite {
     }
     // all three classifications occur
     assert(rows.map(_._5).toSet == Set("new", "revisit", "changed"))
+    // plan: the lag window partitions by url (never a single-partition
+    // window) and the scan reads ONLY doc_id
+    val plan = CurationQueries.qCdxIndex(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(uk"), s"window not keyed by url:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && !readSchema.contains("text"),
+      s"over-read: $readSchema")
     // a revisit shares its digest with the previous capture; a change doesn't
     rows.groupBy(_._1 % 7).values.foreach { caps =>
       caps.sortBy(_._3).sliding(2).foreach {
@@ -531,6 +539,32 @@ class CurationSpec extends AnyFunSuite {
         case _ =>
       }
     }
+  }
+
+  test("token fertility: recomputes from the per-doc bpe encode") {
+    val perDoc = CurationQueries.qBpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val want = meta.groupBy(_._2).map { case (lang, ds) =>
+      val words = ds.map(_._3.toLowerCase.split("\\s+")
+        .filter(_.matches("[a-z0-9]+")))
+      val nWords = ds.map(d => perDoc(d._1)._1).sum
+      val nTokens = ds.map(d => perDoc(d._1)._2).sum
+      val nChars = words.map(_.map(_.length.toLong).sum).sum
+      lang -> ((ds.length.toLong, nWords, nTokens, nChars,
+        BigDecimal(nTokens.toDouble / nWords).setScale(4, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(nChars.toDouble / nTokens).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    }
+    val got = CurationQueries.qTokenFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), BigDecimal(r.getDouble(5)), BigDecimal(r.getDouble(6))))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (lang, w) => assert(got(lang) == w, lang) }
+    // every lang's fertility sits in a sane band (symbols per word are
+    // bounded; 10 merges compress but never to < 1 token per word)
+    got.values.foreach { v => assert(v._5 >= 1.0 && v._5 <= 16.0, v) }
   }
 
   // -------------------------------------------------- classifier calibration
