@@ -240,6 +240,23 @@ object ExtractJob {
       if (cfg.appendSnapshot) table.appendCommit(dataDirs, lineageDirs, cfg.runId)
       else table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
 
+    // resurrection: task ids are deterministic (name-UUID of the url), so
+    // an appended re-extraction of a previously RETIRED url carries the
+    // same id its tombstone names — clear those tombstones or the fresh
+    // rows stay invisible forever (and the next compact() physically
+    // drops them). Broadcast-join the (small, maxRetire-bounded) tombstone
+    // set against ONLY this run's output; the collect is ≤ |tombstones|.
+    if (cfg.appendSnapshot && dataDirs.nonEmpty) {
+      val ts = table.tombstones
+      if (ts.nonEmpty) {
+        val tsDf = spark.createDataset(ts.toSeq).toDF("task_id")
+        val resurrected = spark.read.parquet(dataDirs: _*).select($"task_id")
+          .join(org.apache.spark.sql.functions.broadcast(tsDf), "task_id")
+          .distinct().collect().map(_.getString(0))
+        table.undeleteTasks(resurrected)
+      }
+    }
+
     // staging AND markers are scratch: drop both once the snapshot is
     // durable. Stale markers would let a rerun of this runId after GC
     // commit a snapshot of deleted dirs, and they shield this run's dirs

@@ -80,7 +80,12 @@ object Recrawl {
     require(gone.length <= maxRetire,
       s"more than $maxRetire gone urls — mass retirement must go through a " +
         "compaction rewrite (anti-join), not driver-side tombstones")
-    gone.foreach(u => table.deleteTask(ExtractKernel.taskIdFor(u)))
+    // one lock + one manifest rewrite for the whole batch (per-url
+    // deleteTask would re-serialize the tombstone list per id). A url
+    // that later REAPPEARS is resurrected automatically: the recrawl's
+    // append commit clears tombstones for re-extracted task ids
+    // (ExtractJob resurrection pass).
+    table.deleteTasks(gone.map(ExtractKernel.taskIdFor))
     gone.length.toLong
   }
 }

@@ -34,11 +34,8 @@ object WetExport {
     * read mode deliberately sees none of them. */
   def run(spark: SparkSession, warcDir: String, wetDir: String,
           options: ConversionOptions = ConversionOptions()): Unit = {
-    import spark.implicits._
-    val pages = spark.read.format("warc").load(warcDir)
-      .select(col("url"), col("warc_ts"), col("html"),
-        lit("").as("text"), lit("en").as("lang"))
-      .as[Page]
+    val pages = graft.sources.WarcSource.asPages(
+      spark.read.format("warc").load(warcDir))
     val results = ExtractKernel.extract(
       pages, options.copy(outputFormat = OutputFormat.Text))(spark)
     publish(results.toDF(), wetDir)

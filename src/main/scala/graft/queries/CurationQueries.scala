@@ -912,8 +912,6 @@ object CurationQueries {
   def bpeEncode(d: DataFrame, merges: Int): DataFrame =
     bpeEncodeWith(d, bpeMergeList(d, merges), merges)
 
-  /** Apply a precomputed merge table (see [[bpeMergeTable]] — encode must
-    * not re-run the training loop when the table is already learned). */
   /** The per-doc BPE encode as ONE nested SQL expression: symbol-split
     * eligible words, then the learned merges replayed as literal
     * `replace` chains (symbols proven [a-z0-9]+ by bpeMergeList's
@@ -932,6 +930,8 @@ object CurationQueries {
     enc
   }
 
+  /** Apply a precomputed merge table (see [[bpeMergeTable]] — encode must
+    * not re-run the training loop when the table is already learned). */
   def bpeEncodeWith(d: DataFrame, table: Seq[(Int, String, String, Long)],
       merges: Int): DataFrame = {
     val enc = bpeEncExpr(table, merges)

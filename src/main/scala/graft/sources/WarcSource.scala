@@ -101,6 +101,18 @@ object WarcSource {
     StructField("html", BinaryType, nullable = true),
   ))
 
+  /** The warc read (batch or stream) projected to the pipeline's `Page`
+    * shape — the ONE place the synthesis of the text/lang placeholder
+    * columns lives, shared by every WARC → kernel entry
+    * (runWarcToTable / runWarcToWet / WetExport) so the projections
+    * cannot fork. */
+  def asPages(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.Dataset[graft.model.Page] = {
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(col("url"), col("warc_ts"), col("html"),
+      lit("").as("text"), lit("en").as("lang")).as[graft.model.Page]
+  }
+
   /** `load(p)` passes "path"; `load(p1, p2, ...)` passes "paths" as a
     * JSON array — accept both. */
   private[sources] def pathsFrom(properties: java.util.Map[String, String]): Seq[String] = {
@@ -567,6 +579,23 @@ private[sources] class WarcWrite(dir: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = WarcSource.confFrom(confKvs)
+    // explicit uid = a logical job that may be REPLAYED with different
+    // parallelism: the replay can produce fewer (or differently-numbered,
+    // or newly-empty) partitions than the attempt it replaces, so clearing
+    // only colliding names would leave the prior attempt's extra segments
+    // alongside — double-counted rows. Clear EVERY segment of this uid
+    // first; the final state is then exactly this attempt's output.
+    if (explicitUid.isDefined) {
+      val dirPath = new HPath(dir)
+      val fs = dirPath.getFileSystem(conf)
+      if (fs.exists(dirPath)) {
+        val pat = ("part-\\d{5}-" + java.util.regex.Pattern.quote(jobUid) +
+          "\\.warc\\.gz").r.pattern
+        fs.listStatus(dirPath).foreach { st =>
+          if (pat.matcher(st.getPath.getName).matches()) fs.delete(st.getPath, false)
+        }
+      }
+    }
     messages.collect { case m: WarcCommitMessage if m.tmp.nonEmpty => m }.foreach { m =>
       val src = new HPath(m.tmp)
       val dst = new HPath(s"$dir/part-${"%05d".format(m.partition)}-$jobUid.warc.gz")

@@ -117,11 +117,8 @@ object StreamingExtract extends Serializable {
       streamRunId: String = "warc-stream",
       availableNow: Boolean = true,
   ): StreamingQuery = {
-    import spark.implicits._
-    val pages: Dataset[Page] = spark.readStream.format("warc").load(warcDir)
-      .select(col("url"), col("warc_ts"), col("html"),
-        lit("").as("text"), lit("en").as("lang"))
-      .as[Page]
+    val pages: Dataset[Page] =
+      graft.sources.WarcSource.asPages(spark.readStream.format("warc").load(warcDir))
     val results = ExtractKernel.extract(pages, options)(spark).toDF()
     val writer = results.writeStream
       .outputMode("append")
@@ -141,7 +138,16 @@ object StreamingExtract extends Serializable {
     * renames onto the same final segment names instead of duplicating
     * them (overwrite-idempotent; distinct batches can never collide).
     * WET payload discipline is [[graft.pipeline.WetExport]]'s: text
-    * export forced, completed rows only. */
+    * export forced, completed rows only — per batch, the dropped
+    * (failed) row count is recorded in the `_wetstate-<streamRunId>`
+    * high-water file and logged, so a crawl with silently unparsable
+    * pages is distinguishable from a clean one without re-extraction.
+    *
+    * streamRunId REUSE is rejected the way [[commitStreamBatch]] rejects
+    * it: batchIds restarting below the recorded high-water mark (a fresh
+    * checkpoint, or a second stream writing the same wetDir under the
+    * same id) would silently OVERWRITE published segments via the uid
+    * collision — it throws instead. */
   def runWarcToWet(
       spark: SparkSession,
       warcDir: String,
@@ -151,19 +157,64 @@ object StreamingExtract extends Serializable {
       streamRunId: String = "wet-stream",
       availableNow: Boolean = true,
   ): StreamingQuery = {
-    import spark.implicits._
-    val pages: Dataset[Page] = spark.readStream.format("warc").load(warcDir)
-      .select(col("url"), col("warc_ts"), col("html"),
-        lit("").as("text"), lit("en").as("lang"))
-      .as[Page]
+    val pages: Dataset[Page] =
+      graft.sources.WarcSource.asPages(spark.readStream.format("warc").load(warcDir))
     val results = ExtractKernel.extract(
       pages, options.copy(outputFormat = graft.model.OutputFormat.Text))(spark).toDF()
+    // high-water state through Hadoop FS (wetDir may be an object store,
+    // same rationale as the sink's conf threading); `_` prefix keeps it
+    // invisible to the warc reader's listing
+    val statePath = new org.apache.hadoop.fs.Path(wetDir, s"_wetstate-$streamRunId.json")
+    def stateFs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readState: Map[String, Any] = {
+      val fs = stateFs
+      if (!fs.exists(statePath)) Map.empty
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(statePath).getLen.toInt)
+        val in = fs.open(statePath)
+        try in.readFully(0, buf) finally in.close()
+        graft.core.Json.parse(new String(buf,
+          java.nio.charset.StandardCharsets.UTF_8)).asInstanceOf[Map[String, Any]]
+      }
+    }
     val writer = results.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.pipeline.WetExport.publish(batch, wetDir,
-          jobUid = Some(s"$streamRunId-b$batchId"))
+        val st = readState
+        val maxSeen = st.get("max_batch_id").map(String.valueOf(_).toLong).getOrElse(-1L)
+        // batchIds are only comparable WITHIN one checkpoint lineage: a
+        // fresh checkpoint restarts them at 0, and its batch 0 would
+        // overwrite the published <streamRunId>-b0 segments with different
+        // data. So the state pins the checkpoint dir too — same lineage +
+        // batchId == maxSeen is the one legitimate replay (uid-idempotent)
+        st.get("checkpoint").map(String.valueOf).foreach { prev =>
+          require(prev == checkpointDir,
+            s"wetDir $wetDir already carries streamRunId '$streamRunId' " +
+              s"published from checkpoint $prev — a different checkpoint " +
+              s"($checkpointDir) is reusing this streamRunId against " +
+              "published data; pick a new streamRunId")
+        }
+        require(batchId >= maxSeen,
+          s"batch $batchId below the recorded high-water $maxSeen for " +
+            s"streamRunId '$streamRunId' in $wetDir — a second stream is " +
+            "reusing this streamRunId; pick a new one")
+        // one extra pass over the (bounded) micro-batch buys the dropped
+        // count without recomputing extraction at publish time
+        batch.persist()
+        try {
+          val failed = batch.where(col("status") =!= "completed").count()
+          graft.pipeline.WetExport.publish(batch, wetDir,
+            jobUid = Some(s"$streamRunId-b$batchId"))
+          val out = stateFs.create(statePath, true)
+          try out.write(graft.core.Json.write(Map(
+            "max_batch_id" -> batchId, "last_failed" -> failed,
+            "checkpoint" -> checkpointDir,
+          )).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          if (failed > 0)
+            System.err.println(s"[wet-stream $streamRunId] batch $batchId dropped $failed failed rows")
+        } finally { batch.unpersist(); () }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -486,12 +486,40 @@ final class LineageTable(val root: String, val numBuckets: Int = 64) {
     * deleting concurrently (or a delete racing [[compact]]'s final
     * rewrite) must not clobber each other's entries. In-process scope
     * only, like the single-writer commit model. */
-  def deleteTask(taskId: String): Unit =
+  def deleteTask(taskId: String): Unit = deleteTasks(Seq(taskId))
+
+  /** Batched tombstoning: ONE lock acquisition + ONE atomic rewrite for
+    * any number of ids (per-id deleteTask loops are O(n²) in file IO —
+    * the whole tombstone list re-serializes per call). */
+  def deleteTasks(taskIds: Iterable[String]): Unit =
     LineageTable.tombstoneLock(root).synchronized {
-      val f = p("_manifests", "TOMBSTONES")
-      val existing = tombstones
-      if (!existing.contains(taskId))
-        atomicWrite(f, graft.core.Json.write(existing + taskId))
+      val add = taskIds.toSet
+      if (add.nonEmpty) {
+        val existing = tombstones
+        if (!add.subsetOf(existing))
+          atomicWrite(p("_manifests", "TOMBSTONES"),
+            graft.core.Json.write(existing ++ add))
+      }
+    }
+
+  /** Remove ids from the tombstone set — the resurrection half of the
+    * tombstone lifecycle. Task ids are DETERMINISTIC (name-UUID of the
+    * url), so a url retired by [[deleteTask]] and later re-extracted
+    * (e.g. it reappears in a subsequent crawl) produces rows with the
+    * SAME task id; without clearing, the old tombstone would keep the
+    * fresh rows invisible forever, and [[compact]] (which materializes
+    * the visible read and then clears tombstones) would physically drop
+    * them. [[graft.pipeline.ExtractJob]] calls this on every append
+    * commit for the ids the run re-extracted. */
+  def undeleteTasks(taskIds: Iterable[String]): Unit =
+    LineageTable.tombstoneLock(root).synchronized {
+      val drop = taskIds.toSet
+      if (drop.nonEmpty) {
+        val existing = tombstones
+        if (existing.exists(drop))
+          atomicWrite(p("_manifests", "TOMBSTONES"),
+            graft.core.Json.write(existing -- drop))
+      }
     }
 
   def tombstones: Set[String] = {

@@ -107,6 +107,26 @@ class RecrawlSpec extends AnyFunSuite {
     assert(visible == (aUrls -- gone.map(_.url)) ++ added.map(_.url))
     // time travel to the pre-recrawl snapshot still serves crawl A intact
     assert(table.readAt(spark, repA.snapshotId).count() == a.size.toLong)
+
+    // resurrection: a RETIRED url reappears in crawl C — its re-extraction
+    // carries the same deterministic task id, so the append commit must
+    // clear the tombstone or the fresh row stays invisible forever (and
+    // compact() would physically drop it)
+    val back = gone.head
+    val c = b :+ back
+    Recrawl.run(spark, ds(b), ds(c),
+      ExtractJob.Config(root, runId = "crawlC", numBuckets = 8, bucketsPerWave = 8))
+    val visAfterC = table.readLatest(spark, versionCol = "warc_ts")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(visAfterC.contains(back.url), "reappeared url still tombstoned")
+    // the OTHER retired urls stay retired
+    gone.tail.foreach(p => assert(!visAfterC.contains(p.url), s"${p.url} resurrected spuriously"))
+    // and compaction keeps the resurrected row while dropping the retired
+    table.compact(spark, resolveLatestBy = Some(("warc_ts", "task_id")))
+    val visCompact = table.readVisible(spark).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(visCompact.contains(back.url))
+    gone.tail.foreach(p => assert(!visCompact.contains(p.url)))
   }
 
   test("mass retirement refuses driver-side tombstones") {

@@ -98,6 +98,55 @@ class WetExportSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("filename-safe")), ex.getMessage)
   }
 
+  test("sink job_uid: a replay with fewer partitions leaves no stale segments") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-wet-uid2-").toString
+    val ts = new java.sql.Timestamp(1735689600000L)
+    def df(n: Int) = (0 until n).map(i => (s"https://u$i.example/", ts,
+      "conversion", "text/plain", s"body $i".getBytes("UTF-8")))
+      .toDF("url", "warc_ts", "record_type", "content_type", "html")
+    df(12).repartition(4).write.format("warc").mode("append")
+      .option("job_uid", "runX-b0").save(dir)
+    // the replay of the SAME logical job lands with less parallelism
+    df(12).repartition(1).write.format("warc").mode("append")
+      .option("job_uid", "runX-b0").save(dir)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).filter(_.endsWith(".warc.gz"))
+    assert(files.length == 1, files.mkString(","))
+    assert(spark.read.format("warc").option("all_records", "true")
+      .load(dir).count() == 12)
+  }
+
+  test("streaming wet: streamRunId reuse against published data fails loud") {
+    val pages = CorpusGen.pages(20)
+    val warcDir = Files.createTempDirectory("graft-wet-reuse-in-").toString
+    val wetDir = Files.createTempDirectory("graft-wet-reuse-out-").toString
+    WarcGen.writeFiles(warcDir, pages, perFile = 10, gzipped = true)
+    graft.streaming.StreamingExtract.runWarcToWet(spark, warcDir, wetDir,
+      Files.createTempDirectory("graft-wet-reuse-cp1-").toString,
+      streamRunId = "wet-r").awaitTermination(120000)
+    val c1 = spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).count()
+    assert(c1 > 0)
+    // force batchIds to restart below the high-water mark: MORE input
+    // through a FRESH checkpoint under the SAME streamRunId (its batch 0
+    // would overwrite the published wet-r-b0 segments with different data)
+    WarcGen.writeFiles(warcDir, CorpusGen.pages(40).drop(20), perFile = 10,
+      gzipped = true, startIndex = 5)
+    val ex = intercept[Exception] {
+      graft.streaming.StreamingExtract.runWarcToWet(spark, warcDir, wetDir,
+        Files.createTempDirectory("graft-wet-reuse-cp2-").toString,
+        streamRunId = "wet-r").awaitTermination(120000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("reusing this streamRunId")), msgs(ex).mkString(" | "))
+    // the published data is untouched
+    assert(spark.read.format("warc").option("all_records", "true")
+      .load(wetDir).count() == c1)
+  }
+
   test("streaming warc -> wet: delta-only, exactly-once across restarts") {
     val s = spark
     import s.implicits._
