@@ -28,10 +28,8 @@ object WarcDemo {
     import spark.implicits._
     try {
       val t0 = System.nanoTime()
-      val ds = spark.read.format("warc").load(dir)
-        .select(col("url"), col("warc_ts"), col("html"),
-          lit("").as("text"), lit("en").as("lang"))
-        .as[Page]
+      val ds = graft.sources.WarcSource.asPages(
+        spark.read.format("warc").load(dir))
       val out = ExtractKernel.extract(ds, ConversionOptions())(spark)
         .groupBy(col("document_type"), col("status"))
         .agg(count(lit(1)).as("n"), sum(length(col("content"))).as("chars"))
