@@ -82,6 +82,14 @@ object CrawlDemo {
       val wet = spark.read.format("warc").option("all_records", "true").load(wetDir)
       println(s"wet published: ${wet.count()} conversion records")
 
+      // CDX across BOTH crawls: same-payload re-captures classify revisit,
+      // changed payloads classify changed
+      val cdx = graft.pipeline.CdxIndex.fromCaptures(
+        spark.read.format("warc").load(dirA, dirB))
+        .groupBy(col("status")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"cdx: $cdx")
+
       // the loop invariant: visible urls == crawl B exactly
       val visible = table.readLatest(spark, versionCol = "warc_ts")
         .select("url").collect().map(_.getString(0)).toSet

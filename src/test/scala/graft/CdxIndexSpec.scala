@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.gen.{CorpusGen, WarcGen}
+import graft.pipeline.CdxIndex
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The production CDX builder over real WARC shards must reproduce the
+  * oracled q_cdx_index classification arithmetic on actual captures. */
+class CdxIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestBase.spark
+
+  test("cdx over real warc: surt keys and per-url lag classification") {
+    val pages = CorpusGen.pages(150)
+    assert(pages.map(_.url).distinct.size < pages.size, "corpus must carry re-crawls")
+    assert(pages.map(p => (p.url, p.warc_ts.getTime)).distinct.size == pages.size,
+      "capture identity must be (url, ts)-unique for the recomputation below")
+    val dir = Files.createTempDirectory("graft-cdx-").toString
+    WarcGen.writeFiles(dir, pages, perFile = 50, gzipped = true)
+
+    val got = CdxIndex.fromWarc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getString(3), r.getString(4)))
+    assert(got.length == pages.size)
+
+    // surt = reversed host labels + ')' + path, from the REAL urls
+    got.foreach { case (surt, url, _, _, _) =>
+      val host = url.split("/")(2)
+      val path = url.substring(url.indexOf(host) + host.length)
+      assert(surt == host.split("\\.").reverse.mkString(",") + ")" + path,
+        s"$surt vs $url")
+    }
+
+    // classification recomputed independently from the page bytes
+    def md5hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    val expected = pages.groupBy(_.url).flatMap { case (url, caps) =>
+      val sorted = caps.sortBy(_.warc_ts.getTime)
+      sorted.zipWithIndex.map { case (p, i) =>
+        val st =
+          if (i == 0) "new"
+          else if (md5hex(sorted(i - 1).html) == md5hex(p.html)) "revisit"
+          else "changed"
+        (url, p.warc_ts.getTime, st)
+      }
+    }.toSet
+    assert(got.map(r => (r._2, r._3.getTime, r._5)).toSet == expected)
+    assert(got.exists(_._5 != "new"), "re-crawls must classify beyond 'new'")
+
+    // the output ordering IS the artifact: (surt, ts)-sorted runs
+    assert(got.map(r => (r._1, r._3.getTime)).sliding(2).forall {
+      case Array(a, b) => a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+      case _ => true
+    })
+  }
+}
