@@ -22,18 +22,34 @@ object CdxIndex {
   def fromWarc(spark: SparkSession, warcDir: String): DataFrame =
     fromCaptures(spark.read.format("warc").load(warcDir))
 
-  /** Core over any `(url, warc_ts, html)` capture frame. */
+  /** Core over any `(url, warc_ts, html)` capture frame. Real-crawl url
+    * edges handled: schemes are case-insensitive (WARC-Target-URI does
+    * not forbid `HTTP://`), hosts lowercase into the key, and NON-DEFAULT
+    * ports survive into the SURT (`com,example:8080)/x` — dropping them
+    * would collapse distinct origins onto one key). Same-timestamp
+    * captures of one url tie-break on digest so the classification is
+    * deterministic for deterministic input. */
   def fromCaptures(df: DataFrame): DataFrame = {
+    val scheme = "^[A-Za-z][A-Za-z0-9+.-]*://"
     val caps = df
       .select(col("url"), col("warc_ts"), md5(col("html")).as("digest"))
-      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1))
+      .withColumn("sch", lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("hostport", lower(regexp_extract(col("url"), s"$scheme([^/]+)", 1)))
+      .withColumn("host", regexp_extract(col("hostport"), "^([^:]+)", 1))
+      .withColumn("port", regexp_extract(col("hostport"), "(:\\d+)$", 1))
+      // DEFAULT ports canonicalize away (http://h:80/ == http://h/);
+      // non-default ports stay in the key — distinct origins
+      .withColumn("port",
+        when(col("sch") === "http" && col("port") === ":80", "")
+          .when(col("sch") === "https" && col("port") === ":443", "")
+          .otherwise(col("port")))
       .withColumn("path",
-        when(regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1) === "", "/")
-          .otherwise(regexp_extract(col("url"), "^[a-z]+://[^/]*(/.*)$", 1)))
+        when(regexp_extract(col("url"), s"$scheme[^/]*(/.*)$$", 1) === "", "/")
+          .otherwise(regexp_extract(col("url"), s"$scheme[^/]*(/.*)$$", 1)))
       .withColumn("surt",
         concat(concat_ws(",", reverse(split(col("host"), "\\."))),
-          lit(")"), col("path")))
-    val w = Window.partitionBy(col("url")).orderBy(col("warc_ts"))
+          col("port"), lit(")"), col("path")))
+    val w = Window.partitionBy(col("url")).orderBy(col("warc_ts"), col("digest"))
     caps
       .withColumn("prev", lag(col("digest"), 1).over(w))
       .select(

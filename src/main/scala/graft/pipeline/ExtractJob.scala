@@ -236,17 +236,21 @@ object ExtractJob {
     val markers = table.markers(cfg.runId)
     val dataDirs = markers.map(m => String.valueOf(m("data_dir"))).distinct
     val lineageDirs = markers.map(m => String.valueOf(m("lineage_dir"))).distinct
-    val snapId =
-      if (cfg.appendSnapshot) table.appendCommit(dataDirs, lineageDirs, cfg.runId)
-      else table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
-
     // resurrection: task ids are deterministic (name-UUID of the url), so
-    // an appended re-extraction of a previously RETIRED url carries the
-    // same id its tombstone names — clear those tombstones or the fresh
-    // rows stay invisible forever (and the next compact() physically
-    // drops them). Broadcast-join the (small, maxRetire-bounded) tombstone
-    // set against ONLY this run's output; the collect is ≤ |tombstones|.
-    if (cfg.appendSnapshot && dataDirs.nonEmpty) {
+    // a re-extraction of a previously RETIRED url — on EITHER commit kind —
+    // carries the same id its tombstone names; clear those tombstones or
+    // the fresh rows stay invisible forever (and the next compact()
+    // physically drops them). Broadcast-join the (small, maxRetire-bounded)
+    // tombstone set against ONLY this run's output; the collect is
+    // ≤ |tombstones|. Runs BEFORE the commit: the worst crash/concurrent-
+    // compact outcome is then a retired row turning visible a moment early
+    // (the rerun re-commits), never the fresh rows being silently dropped
+    // (the order-swapped race: commit → compact captures the tombstone →
+    // rewrite without the row → undelete → tombstone gone AND data gone).
+    // totalRows guards the zero-delta run, whose wave dirs carry only
+    // _SUCCESS and would fail parquet schema inference.
+    val totalRows = markers.map(m => String.valueOf(m("rows")).toLong).sum
+    if (dataDirs.nonEmpty && totalRows > 0) {
       val ts = table.tombstones
       if (ts.nonEmpty) {
         val tsDf = spark.createDataset(ts.toSeq).toDF("task_id")
@@ -256,6 +260,10 @@ object ExtractJob {
         table.undeleteTasks(resurrected)
       }
     }
+
+    val snapId =
+      if (cfg.appendSnapshot) table.appendCommit(dataDirs, lineageDirs, cfg.runId)
+      else table.commitSnapshot(dataDirs, lineageDirs, cfg.runId)
 
     // staging AND markers are scratch: drop both once the snapshot is
     // durable. Stale markers would let a rerun of this runId after GC

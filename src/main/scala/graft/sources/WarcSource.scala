@@ -589,7 +589,8 @@ private[sources] class WarcWrite(dir: String, schema: StructType,
       val dirPath = new HPath(dir)
       val fs = dirPath.getFileSystem(conf)
       if (fs.exists(dirPath)) {
-        val pat = ("part-\\d{5}-" + java.util.regex.Pattern.quote(jobUid) +
+        // \d{5,}: %05d widens past 5 digits at partition ids >= 100000
+        val pat = ("part-\\d{5,}-" + java.util.regex.Pattern.quote(jobUid) +
           "\\.warc\\.gz").r.pattern
         fs.listStatus(dirPath).foreach { st =>
           if (pat.matcher(st.getPath.getName).matches()) fs.delete(st.getPath, false)

@@ -50,10 +50,14 @@ object CrawlDemo {
       def pagesOf(dir: String) =
         WarcSource.asPages(spark.read.format("warc").load(dir))
 
-      // full extraction of crawl A
+      // full extraction of crawl A — TEXT output: this table feeds WET
+      // publication, and fromTable faithfully publishes the stored
+      // content (it cannot re-derive text from a markdown table)
+      val opts = graft.model.ConversionOptions(
+        outputFormat = graft.model.OutputFormat.Text)
       val t0 = System.nanoTime()
       ExtractJob.run(spark, pagesOf(dirA),
-        ExtractJob.Config(root, runId = "crawlA", numBuckets = 16))
+        ExtractJob.Config(root, runId = "crawlA", numBuckets = 16, options = opts))
       val table = new LineageTable(root, 16)
       println(f"crawl A extracted: ${table.readVisible(spark).count()} rows " +
         f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
@@ -67,7 +71,7 @@ object CrawlDemo {
       // delta-only re-extraction, appended merge-on-read
       val t1 = System.nanoTime()
       Recrawl.run(spark, pagesOf(dirA), pagesOf(dirB),
-        ExtractJob.Config(root, runId = "crawlB", numBuckets = 16))
+        ExtractJob.Config(root, runId = "crawlB", numBuckets = 16, options = opts))
       val deltaSec = (System.nanoTime() - t1) / 1e9
       val delta = diff.getOrElse("added", 0L) + diff.getOrElse("changed", 0L)
       println(f"recrawl: $delta pages re-extracted in $deltaSec%.1f s = " +

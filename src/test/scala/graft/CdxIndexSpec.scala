@@ -55,4 +55,45 @@ class CdxIndexSpec extends AnyFunSuite {
       case _ => true
     })
   }
+
+  test("cdx url edges: ports, uppercase schemes, same-ts tie-break") {
+    val s = spark
+    import s.implicits._
+    val ts = new java.sql.Timestamp(1735689600000L)
+    def b(x: String) = x.getBytes("UTF-8")
+    val caps = Seq(
+      // non-default port is a DISTINCT origin; default ports canonicalize
+      ("http://example.com:8080/x", ts, b("p1")),
+      ("http://example.com:80/x", ts, b("p2")),
+      ("https://example.com:443/x", ts, b("p3")),
+      // uppercase scheme still keys correctly
+      ("HTTP://Example.COM/y", ts, b("p4")),
+      // bare host -> "/" path
+      ("https://example.org", ts, b("p5")),
+      // same url, same ts, different payloads: digest tie-break
+      ("https://tie.example/z", ts, b("aaa")),
+      ("https://tie.example/z", ts, b("zzz")),
+    ).toDF("url", "warc_ts", "html")
+    val got = CdxIndex.fromCaptures(caps).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4)))
+    val surts = got.map(_._1).toSet
+    assert(surts.contains("com,example:8080)/x"))
+    assert(surts.contains("com,example)/x"))      // :80 stripped
+    assert(surts.contains("com,example)/y"))      // HTTP://Example.COM
+    assert(surts.contains("org,example)/"))       // bare host
+    assert(surts.exists(_.startsWith("example,tie)")))
+    // https :443 also canonicalized onto the portless key
+    assert(got.count(_._1 == "com,example)/x") == 2)
+    // tie-break: md5("aaa") < md5("zzz") lexicographically? the contract is
+    // DETERMINISM — the same input always yields the same classification
+    val tie = got.filter(_._2 == "https://tie.example/z").map(_._3).sorted.toSeq
+    assert(tie == Seq("changed", "new"), tie.toString)
+    val again = CdxIndex.fromCaptures(caps).collect()
+      .filter(_.getString(1) == "https://tie.example/z")
+      .map(r => (r.getString(3), r.getString(4))).sorted.toSeq
+    val first = CdxIndex.fromCaptures(caps).collect()
+      .filter(_.getString(1) == "https://tie.example/z")
+      .map(r => (r.getString(3), r.getString(4))).sorted.toSeq
+    assert(again == first)
+  }
 }

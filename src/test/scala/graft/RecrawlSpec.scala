@@ -122,11 +122,24 @@ class RecrawlSpec extends AnyFunSuite {
     // the OTHER retired urls stay retired
     gone.tail.foreach(p => assert(!visAfterC.contains(p.url), s"${p.url} resurrected spuriously"))
     // and compaction keeps the resurrected row while dropping the retired
-    table.compact(spark, resolveLatestBy = Some(("warc_ts", "task_id")))
+    table.compact(spark, resolveLatestBy = Some(("url", "warc_ts")))
     val visCompact = table.readVisible(spark).select("url")
       .collect().map(_.getString(0)).toSet
     assert(visCompact.contains(back.url))
     gone.tail.foreach(p => assert(!visCompact.contains(p.url)))
+    // compaction with latest-per-url resolution collapses the
+    // merge-on-read duplicates: one physical row per visible url
+    assert(table.readVisible(spark).count() == visCompact.size.toLong)
+
+    // zero-delta recrawl (steady state: crawl D == crawl C) with live
+    // tombstones: must commit cleanly (empty wave dirs carry only
+    // _SUCCESS — the resurrection pass must not attempt schema inference)
+    // and change nothing
+    Recrawl.run(spark, ds(c), ds(c),
+      ExtractJob.Config(root, runId = "crawlD", numBuckets = 8, bucketsPerWave = 8))
+    val visAfterD = table.readLatest(spark, versionCol = "warc_ts")
+      .select("url").collect().map(_.getString(0)).toSet
+    assert(visAfterD == visCompact)
   }
 
   test("mass retirement refuses driver-side tombstones") {
