@@ -34,9 +34,20 @@ object CdxIndex {
     val caps = df
       .select(col("url"), col("warc_ts"), md5(col("html")).as("digest"))
       .withColumn("sch", lower(regexp_extract(col("url"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
-      .withColumn("hostport", lower(regexp_extract(col("url"), s"$scheme([^/]+)", 1)))
-      .withColumn("host", regexp_extract(col("hostport"), "^([^:]+)", 1))
-      .withColumn("port", regexp_extract(col("hostport"), "(:\\d+)$", 1))
+      // authority minus userinfo (user:pw@ must neither leak into the key
+      // nor masquerade as the host), lowercased
+      .withColumn("hostport", lower(regexp_replace(
+        regexp_extract(col("url"), s"$scheme([^/]+)", 1), "^[^@]*@", "")))
+      // IPv6 literals keep their brackets intact; otherwise host = up to
+      // the first colon
+      .withColumn("host",
+        when(col("hostport").startsWith("["),
+          regexp_extract(col("hostport"), "^(\\[[^\\]]*\\])", 1))
+          .otherwise(regexp_extract(col("hostport"), "^([^:]+)", 1)))
+      .withColumn("port",
+        when(col("hostport").startsWith("["),
+          regexp_extract(col("hostport"), "\\](:\\d+)$", 1))
+          .otherwise(regexp_extract(col("hostport"), "(:\\d+)$", 1)))
       // DEFAULT ports canonicalize away (http://h:80/ == http://h/);
       // non-default ports stay in the key — distinct origins
       .withColumn("port",
@@ -49,7 +60,10 @@ object CdxIndex {
       .withColumn("surt",
         concat(concat_ws(",", reverse(split(col("host"), "\\."))),
           col("port"), lit(")"), col("path")))
-    val w = Window.partitionBy(col("url")).orderBy(col("warc_ts"), col("digest"))
+    // classification partitions by the CANONICAL key, not the raw url:
+    // spelling variants of one resource (case, default port) are the same
+    // capture chain — the oracle twin keys by uk, which IS the surt
+    val w = Window.partitionBy(col("surt")).orderBy(col("warc_ts"), col("digest"))
     caps
       .withColumn("prev", lag(col("digest"), 1).over(w))
       .select(
@@ -57,6 +71,8 @@ object CdxIndex {
         when(col("prev").isNull, "new")
           .when(col("prev") === col("digest"), "revisit")
           .otherwise("changed").as("status"))
-      .orderBy(col("surt"), col("ts"))
+      // digest in the sort: same-ts captures emit in a deterministic
+      // order, so two emissions of the artifact are byte-comparable
+      .orderBy(col("surt"), col("ts"), col("digest"))
   }
 }

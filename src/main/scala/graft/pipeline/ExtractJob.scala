@@ -242,11 +242,14 @@ object ExtractJob {
     // the fresh rows stay invisible forever (and the next compact()
     // physically drops them). Broadcast-join the (small, maxRetire-bounded)
     // tombstone set against ONLY this run's output; the collect is
-    // ≤ |tombstones|. Runs BEFORE the commit: the worst crash/concurrent-
-    // compact outcome is then a retired row turning visible a moment early
-    // (the rerun re-commits), never the fresh rows being silently dropped
-    // (the order-swapped race: commit → compact captures the tombstone →
-    // rewrite without the row → undelete → tombstone gone AND data gone).
+    // ≤ |tombstones|. Runs BEFORE the commit — the two mutations are not
+    // failure-atomic in either order, so pick the recoverable failure: a
+    // crash in the undelete→commit window leaves the OLD retired row
+    // visible (stale content served until the runId is rerun or the url
+    // re-retired — recoverable, and a resumed run re-commits); the
+    // swapped order's window loses data unrecoverably (commit → compact
+    // captures the tombstone → rewrite WITHOUT the fresh row → undelete →
+    // tombstone gone AND data gone, nothing left to rerun).
     // totalRows guards the zero-delta run, whose wave dirs carry only
     // _SUCCESS and would fail parquet schema inference.
     val totalRows = markers.map(m => String.valueOf(m("rows")).toLong).sum

@@ -206,20 +206,21 @@ object StreamingExtract extends Serializable {
           val failed = batch.where(col("status") =!= "completed").count()
           graft.pipeline.WetExport.publish(batch, wetDir,
             jobUid = Some(s"$streamRunId-b$batchId"))
-          // tmp + rename, the manifest-layer discipline: create-truncate
-          // in place would leave a zero-byte guard on a crash mid-write,
-          // bricking the legitimate restart the guard exists to protect
-          val fs = stateFs
+          // tmp + OVERWRITE-rename (FileContext — atomic on posix/HDFS):
+          // create-truncate in place would leave a zero-byte guard on a
+          // crash mid-write (bricking the restart), and delete-then-rename
+          // would open a no-state window where the reuse guard fails OPEN
           val tmp = new org.apache.hadoop.fs.Path(wetDir,
             s"_wetstate-$streamRunId.tmp")
-          val out = fs.create(tmp, true)
+          val out = stateFs.create(tmp, true)
           try out.write(graft.core.Json.write(Map(
             "max_batch_id" -> batchId, "last_failed" -> failed,
             "checkpoint" -> checkpointDir,
           )).getBytes(java.nio.charset.StandardCharsets.UTF_8))
           finally out.close()
-          if (fs.exists(statePath)) fs.delete(statePath, false)
-          require(fs.rename(tmp, statePath), s"wetstate rename failed: $tmp")
+          org.apache.hadoop.fs.FileContext.getFileContext(
+            statePath.toUri, spark.sparkContext.hadoopConfiguration)
+            .rename(tmp, statePath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
           if (failed > 0)
             System.err.println(s"[wet-stream $streamRunId] batch $batchId dropped $failed failed rows")
         } finally { batch.unpersist(); () }

@@ -73,6 +73,10 @@ class CdxIndexSpec extends AnyFunSuite {
       // same url, same ts, different payloads: digest tie-break
       ("https://tie.example/z", ts, b("aaa")),
       ("https://tie.example/z", ts, b("zzz")),
+      // userinfo must neither leak into the key nor masquerade as host
+      ("https://user:pw@example.net/a", ts, b("p6")),
+      // IPv6 literal keeps its brackets; port parsed after the bracket
+      ("http://[2001:db8::1]:8080/v6", ts, b("p7")),
     ).toDF("url", "warc_ts", "html")
     val got = CdxIndex.fromCaptures(caps).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(4)))
@@ -82,8 +86,14 @@ class CdxIndexSpec extends AnyFunSuite {
     assert(surts.contains("com,example)/y"))      // HTTP://Example.COM
     assert(surts.contains("org,example)/"))       // bare host
     assert(surts.exists(_.startsWith("example,tie)")))
-    // https :443 also canonicalized onto the portless key
-    assert(got.count(_._1 == "com,example)/x") == 2)
+    assert(surts.contains("net,example)/a"), surts.toString) // no user leak
+    assert(surts.contains("[2001:db8::1]:8080)/v6"), surts.toString)
+    assert(!surts.exists(_.contains("user")) && !surts.exists(_.contains("pw")))
+    // https :443 also canonicalized onto the portless key — and the two
+    // spelling variants form ONE capture chain (window keys on the surt):
+    // same ts, different payloads => new + changed, never new + new
+    val xs = got.filter(_._1 == "com,example)/x").map(_._3).sorted.toSeq
+    assert(xs == Seq("changed", "new"), xs.toString)
     // tie-break: md5("aaa") < md5("zzz") lexicographically? the contract is
     // DETERMINISM — the same input always yields the same classification
     val tie = got.filter(_._2 == "https://tie.example/z").map(_._3).sorted.toSeq

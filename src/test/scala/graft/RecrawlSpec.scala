@@ -131,15 +131,23 @@ class RecrawlSpec extends AnyFunSuite {
     // merge-on-read duplicates: one physical row per visible url
     assert(table.readVisible(spark).count() == visCompact.size.toLong)
 
-    // zero-delta recrawl (steady state: crawl D == crawl C) with live
-    // tombstones: must commit cleanly (empty wave dirs carry only
-    // _SUCCESS — the resurrection pass must not attempt schema inference)
-    // and change nothing
+    // zero-delta recrawl (steady state: crawl D == crawl C) with a LIVE
+    // tombstone (compact cleared the earlier set, so retire once more —
+    // without one the resurrection pass short-circuits on ts.isEmpty and
+    // the schema-inference guard would go unexercised): must commit
+    // cleanly (empty wave dirs carry only _SUCCESS — the resurrection
+    // pass must not attempt schema inference) and change nothing beyond
+    // the fresh retirement
+    val retiredAgain = added.head
+    table.deleteTask(graft.pipeline.ExtractKernel.taskIdFor(retiredAgain.url))
+    assert(table.tombstones.nonEmpty)
     Recrawl.run(spark, ds(c), ds(c),
       ExtractJob.Config(root, runId = "crawlD", numBuckets = 8, bucketsPerWave = 8))
     val visAfterD = table.readLatest(spark, versionCol = "warc_ts")
       .select("url").collect().map(_.getString(0)).toSet
-    assert(visAfterD == visCompact)
+    assert(visAfterD == visCompact - retiredAgain.url)
+    // the zero-delta run wrote no rows, so the live tombstone survives
+    assert(table.tombstones.nonEmpty)
   }
 
   test("mass retirement refuses driver-side tombstones") {
