@@ -27,5 +27,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap 48g (was 8g; still SPARK_DRIVER_MEM-overridable): local[32]
+  // with the session-cached pages/extraction corpora measured ~2.4x slower
+  // per cached x_ query at 8g (storage-fraction eviction + GC pressure —
+  // BENCH.md round-6 A/B), and the sandbox has 128 GiB. Linux commits heap
+  // pages lazily, so small runs don't pay for the headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

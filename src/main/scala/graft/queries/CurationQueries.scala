@@ -586,6 +586,14 @@ object CurationQueries {
   /** The train+score core over any `(doc_id, text)` frame — unit-testable
     * against hand-computed surprisal (CurationSpec). */
   def lmScore(d: DataFrame): DataFrame = {
+    // Plan note (r6, measured): this shape is already effectively
+    // single-pass — `bg` feeds the bgc aggregation and the scoring join
+    // through the IDENTICAL (w1, w2) exchange, which Spark's ReuseExchange
+    // dedups, so the bigram stream is tokenized and shuffled once. An
+    // experimental checkpoint-the-tokens rewrite measured 5x SLOWER warm
+    // (0.14 s → 0.73 s at sf0.1: two materialization jobs cost more than
+    // the one redundant unigram-branch tokenize it saved) and was
+    // reverted.
     val words = d.select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("w"))
     val uni = words.select(explode(col("w")).as("w1"))
@@ -655,8 +663,15 @@ object CurationQueries {
   def qClassifierEval(spark: SparkSession, dir: String, vocabSize: Int = 256): DataFrame = {
     // the confusion matrix feeds TWO aggregations (by truth, by
     // prediction); without a cut, each would re-run the whole NB
-    // train+apply pipeline — checkpoint the ≤ L²-row frame once
-    val conf = TrainingDataQueries.eagerCheckpoint(nbClassify(docs(spark, dir), vocabSize))
+    // train+apply pipeline. r6: the matrix is ≤ L²-row BY CONSTRUCTION, so
+    // the cut is a bounded driver collect (the medoid/IVF discipline)
+    // re-wrapped as a LocalRelation — the metric algebra below then runs
+    // on label-cardinality-sized local data with no checkpoint job and no
+    // tiny-frame shuffles (measured ~1 s faster warm than the r5
+    // localCheckpoint cut at sf0.1; the collect is L², never corpus-sized)
+    val confDf = nbClassify(docs(spark, dir), vocabSize)
+    val conf = spark.createDataFrame(
+      java.util.Arrays.asList(confDf.collect(): _*), confDf.schema)
     val byTrue = conf.groupBy(col("source"))
       .agg(sum(col("n_docs")).as("n_true"),
         sum(when(col("predicted") === col("source"), col("n_docs")).otherwise(0L)).as("n_correct"))
@@ -695,7 +710,12 @@ object CurationQueries {
     // ONE corpus-token aggregation feeds both vocab selection (marginal
     // over labels) and the model counts — its output is vocabulary×L
     // sized, so everything downstream of it is model-sized, not
-    // corpus-sized; the only other corpus-token pass is the per-doc tf
+    // corpus-sized; the only other corpus-token pass is the per-doc tf.
+    // (r6 probe note: a per-(doc, source, word) pre-aggregation shared by
+    // both consumers measured ~0.4 s SLOWER warm at sf0.1 — its exchange
+    // shuffles the distinct-words-per-doc table, while these two branches
+    // shuffle only map-side-combined vocab×L / query-vocab-filtered rows —
+    // so the two cheap passes stay.)
     val lw = toks.groupBy(col("source").as("label"), col("word"))
       .agg(count(lit(1)).as("c"))
     val vocab = lw.groupBy(col("word")).agg(sum(col("c")).as("cnt"))

@@ -65,13 +65,23 @@ object TrainingDataQueries {
       if (words.isEmpty) Array.empty
       else Array(MurmurHash3.arrayHash(words.asInstanceOf[Array[AnyRef]], 31).toLong)
     } else {
+      // prehash each word once (r6): the rolling combine re-read every word
+      // k times through MurmurHash3 — hashing up-front is bit-identical
+      // (the Int result sign-extends to Long exactly as the inline call
+      // did) and cuts the string-hash work k-fold in the minhash hot path
+      val wh = new Array[Long](words.length)
+      var w = 0
+      while (w < words.length) {
+        wh(w) = MurmurHash3.stringHash(words(w), 42).toLong
+        w += 1
+      }
       val raw = new Array[Long](words.length - k + 1)
       var i = 0
       while (i + k <= words.length) {
         var h = 1125899906842597L
         var j = i
         while (j < i + k) {
-          h = h * 31 + MurmurHash3.stringHash(words(j), 42)
+          h = h * 31 + wh(j)
           j += 1
         }
         raw(i) = h
@@ -1195,10 +1205,15 @@ object TrainingDataQueries {
     // checkpointed: tf (≤ one row per (doc, query term)) feeds BOTH the idf
     // aggregation and the scoring join — without the cut each reference
     // re-scans and re-tokenizes the whole corpus (the xHostRank64 lesson)
+    // query-term filter INSIDE the array before the generator (r6): the
+    // explode emits only query-term tokens instead of the full token
+    // stream (thousands of rows per doc → a handful), so the tf hash-agg
+    // touches ~|query| rows per doc; the empty-token filter is subsumed
+    // (query terms are non-empty).
     val tf = eagerCheckpoint(d
       .select(col("doc_id"),
-        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("word"))
-      .where(col("word").isin(query: _*))
+        explode(filter(split(lower(col("text")), "\\s+"),
+          x => x.isInCollection(query))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
@@ -1228,18 +1243,28 @@ object TrainingDataQueries {
             query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
             k: Int = 20): DataFrame = {
     val d = docs(spark, dir)
+    val n = d.count()
     val words = d.select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("wl"))
-    val dl = words.select(col("doc_id"), size(col("wl")).cast("long").as("dl"))
-    val n = d.count()
-    val sumDl = dl.agg(sum(col("dl"))).collect()(0).getLong(0) // 1-row agg
+    val sumDl = words.select(size(col("wl")).cast("long").as("dl"))
+      .agg(sum(col("dl"))).collect()(0).getLong(0) // 1-row agg
     val avgdl = sumDl.toDouble / n
-    val tf = words.select(col("doc_id"), explode(col("wl")).as("word"))
-      .where(col("word").isin(query: _*))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    // TWO corpus tokenize passes, down from three (r6): the old shape
+    // joined a separate per-doc length frame onto tf, re-splitting the
+    // text a third time for the join's dl side (no ReuseExchange — its
+    // exchange key differed). Carrying dl THROUGH the tf aggregation
+    // (constant per group, `first`) removes that pass and the whole
+    // doc_id equi-join; the query-term filter moved INSIDE the array
+    // before the generator, so the explode emits ≤ a few rows per doc
+    // instead of the full token stream.
+    val tf = words
+      .select(col("doc_id"), size(col("wl")).cast("long").as("dl"),
+        explode(filter(col("wl"), x => x.isInCollection(query))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
-    val term = tf.join(broadcast(idf), "word").join(dl, "doc_id")
+    val term = tf.join(broadcast(idf), "word")
       .withColumn("tq", floor(
         col("idf").cast("double") * (col("tf").cast("double") * lit(2.2d)) /
           (col("tf").cast("double") + lit(1.2d) *
