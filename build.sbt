@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // BENCH.md round-6 A/B), and the sandbox has 128 GiB. Linux commits heap
   // pages lazily, so small runs don't pay for the headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // ParallelGC default (was JDK-17 G1): the extraction kernel is
+  // allocation-heavy (DOM nodes, decoded strings) and the throughput
+  // collector measured the same-calm-window bench total 39.5 -> 35.8 s and
+  // the 160k-page extraction headline 2.49 -> 1.07 s (64.2k -> 149.6k
+  // pages/s) at local[32]/48g — see BENCH.md round-6. Override with e.g.
+  // SPARK_GRAFT_GC=G1 to compare collectors.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "Parallel")}GC",
 )

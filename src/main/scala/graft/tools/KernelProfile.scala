@@ -32,7 +32,8 @@ object KernelProfile {
 
     // phase attribution (last rep's measurements, warm JIT)
     var tDetect = 0L; var tParse = 0L; var tMd = 0L; var tTables = 0L
-    var tChunk = 0L; var tEmbed = 0L
+    var tChunk = 0L; var tEmbed = 0L; var tTree = 0L; var tBlocks = 0L
+    val byType = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     val opts = ConversionOptions()
     pages.foreach { p =>
       var t = System.nanoTime()
@@ -43,7 +44,13 @@ object KernelProfile {
         val doc = docType match {
           case DocumentType.Html =>
             val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
-            graft.html.BlockExtractor.extract(graft.html.TreeBuilder.parse(html), "f", opts.extractImages)
+            val t1 = System.nanoTime()
+            val tree = graft.html.TreeBuilder.parse(html)
+            tTree += System.nanoTime() - t1
+            val t2 = System.nanoTime()
+            val d2 = graft.html.BlockExtractor.extract(tree, "f", opts.extractImages)
+            tBlocks += System.nanoTime() - t2
+            d2
           case DocumentType.Pdf => graft.pdf.PdfParser.parse(p.html, "f")
           case DocumentType.Docx => graft.ooxml.OoxmlParser.parseDocx(p.html, "f")
           case DocumentType.Xlsx => graft.ooxml.OoxmlParser.parseXlsx(p.html, "f")
@@ -52,7 +59,9 @@ object KernelProfile {
           case DocumentType.Asciidoc => graft.mdparse.AsciidocParser.parse(new String(p.html, java.nio.charset.StandardCharsets.UTF_8), "f")
           case _ => graft.model.DocModel("f", DocumentType.Image, 1, Vector.empty)
         }
-        tParse += System.nanoTime() - t
+        val dt = System.nanoTime() - t
+        tParse += dt
+        byType.merge(docType, dt, (a: java.lang.Long, b: java.lang.Long) => a + b)
         t = System.nanoTime()
         val md = graft.export.MarkdownSerializer.serialize(doc)
         tMd += System.nanoTime() - t
@@ -70,6 +79,8 @@ object KernelProfile {
       } catch { case _: Throwable => () }
     }
     def ms(x: Long) = x / 1e6
-    println(f"[kprof] phases over $n pages (ms): detect=${ms(tDetect)}%.0f parse=${ms(tParse)}%.0f markdown=${ms(tMd)}%.0f tables=${ms(tTables)}%.0f chunk=${ms(tChunk)}%.0f embed=${ms(tEmbed)}%.0f")
+    println(f"[kprof] phases over $n pages (ms): detect=${ms(tDetect)}%.0f parse=${ms(tParse)}%.0f (tree=${ms(tTree)}%.0f blocks=${ms(tBlocks)}%.0f) markdown=${ms(tMd)}%.0f tables=${ms(tTables)}%.0f chunk=${ms(tChunk)}%.0f embed=${ms(tEmbed)}%.0f")
+    val it = byType.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); println(f"[kprof] parse by type: ${e.getKey}%-9s ${ms(e.getValue)}%.0f ms") }
   }
 }
