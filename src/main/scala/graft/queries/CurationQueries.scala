@@ -745,11 +745,18 @@ object CurationQueries {
     val predicted = scores.groupBy(col("doc_id"))
       .agg(min(struct((-col("score")).as("ns"), col("label").as("lbl"))).as("m"))
       .select(col("doc_id"), col("m.lbl").as("predicted"))
-    val fallback = prior.orderBy(col("prior").desc, col("label")).limit(1)
-      .collect()(0).getString(0)
+    // max-prior fallback as a 1-row broadcast instead of a driver collect
+    // (r6): same label — min(struct(-prior, label)) == orderBy(prior desc,
+    // label).limit(1) — but it folds into the main job instead of running
+    // its own action per query.
+    val fallback = prior
+      .agg(min(struct((-col("prior")).as("np"), col("label").as("lbl"))).as("f"))
+      .select(col("f.lbl").as("fb"))
     d.select(col("doc_id"), col("source"))
       .join(predicted, Seq("doc_id"), "left")
-      .withColumn("predicted", coalesce(col("predicted"), lit(fallback)))
+      .crossJoin(broadcast(fallback))
+      .withColumn("predicted", coalesce(col("predicted"), col("fb")))
+      .drop("fb")
   }
 
   private def nbTokens(d: DataFrame): DataFrame =

@@ -1202,19 +1202,22 @@ object TrainingDataQueries {
     * n_terms_hit) for every document hitting ≥ 1 query term. */
   private def keywordScores(d: DataFrame, query: Seq[String]): DataFrame = {
     val n = d.count()
-    // checkpointed: tf (≤ one row per (doc, query term)) feeds BOTH the idf
-    // aggregation and the scoring join — without the cut each reference
-    // re-scans and re-tokenizes the whole corpus (the xHostRank64 lesson)
+    // tf (≤ one row per (doc, query term)) feeds BOTH the idf aggregation
+    // and the scoring join, but both consumers sit above tf's IDENTICAL
+    // (doc_id, word) exchange, so ReuseExchange/AQE stage caching runs the
+    // tokenize once — the r5 eager checkpoint here was redundant insurance
+    // that cost a materialize job per query (r6 probe: dropping it is
+    // −20% warm on keyword AND hybrid, corpus still scanned once).
     // query-term filter INSIDE the array before the generator (r6): the
     // explode emits only query-term tokens instead of the full token
     // stream (thousands of rows per doc → a handful), so the tf hash-agg
     // touches ~|query| rows per doc; the empty-token filter is subsumed
     // (query terms are non-empty).
-    val tf = eagerCheckpoint(d
+    val tf = d
       .select(col("doc_id"),
         explode(filter(split(lower(col("text")), "\\s+"),
           x => x.isInCollection(query))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
     tf.join(broadcast(idf), "word")
