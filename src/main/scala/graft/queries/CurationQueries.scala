@@ -191,11 +191,20 @@ object CurationQueries {
     val toks = d.select(col("source"),
       size(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).cast("long").as("n_tok"))
       .groupBy(col("source")).agg(sum(col("n_tok")).as("tok_s"))
-    // sources are ~20 rows: the min is a 1-row agg, the rate table broadcasts
-    val tokMin = toks.agg(min(col("tok_s"))).collect()(0).getLong(0)
-    val rates = toks.withColumn("rate_q",
-      floor(sqrt(lit(tokMin.toDouble) / col("tok_s").cast("double")) * 1000000d + 0.5d)
-        .cast("long"))
+    // sources are ~20 rows: the min is a 1-row agg, the rate table
+    // broadcasts. r6 second pass: tok_min folded in as a 1-row broadcast
+    // instead of a driver collect — the old collect's job ran the full
+    // corpus tokenize, and the main job then re-tokenized for the rate
+    // table; as sibling subtrees of ONE job they share toks' identical
+    // groupBy(source) exchange (ReuseExchange), so the corpus is tokenized
+    // once and the extra action disappears. Same value, same IEEE division
+    // (long→double cast both sides), so rate_q is bit-identical.
+    val tokMinRow = toks.agg(min(col("tok_s")).as("tok_min"))
+    val rates = toks.crossJoin(broadcast(tokMinRow))
+      .withColumn("rate_q",
+        floor(sqrt(col("tok_min").cast("double") / col("tok_s").cast("double")) * 1000000d + 0.5d)
+          .cast("long"))
+      .drop("tok_min")
     val md5ModUdf = udf((id: Long) =>
       java.lang.Long.remainderUnsigned(DuckHash.md5NumberLower(id.toString), 1000000L))
     d.join(broadcast(rates), "source")
@@ -664,22 +673,33 @@ object CurationQueries {
     // the confusion matrix feeds TWO aggregations (by truth, by
     // prediction); without a cut, each would re-run the whole NB
     // train+apply pipeline. r6: the matrix is ≤ L²-row BY CONSTRUCTION, so
-    // the cut is a bounded driver collect (the medoid/IVF discipline)
-    // re-wrapped as a LocalRelation — the metric algebra below then runs
-    // on label-cardinality-sized local data with no checkpoint job and no
-    // tiny-frame shuffles (measured ~1 s faster warm than the r5
-    // localCheckpoint cut at sf0.1; the collect is L², never corpus-sized)
-    val confDf = nbClassify(docs(spark, dir), vocabSize)
-    val conf = spark.createDataFrame(
-      java.util.Arrays.asList(confDf.collect(): _*), confDf.schema)
-    val byTrue = conf.groupBy(col("source"))
-      .agg(sum(col("n_docs")).as("n_true"),
-        sum(when(col("predicted") === col("source"), col("n_docs")).otherwise(0L)).as("n_correct"))
-    val byPred = conf.groupBy(col("predicted").as("source"))
-      .agg(sum(col("n_docs")).as("n_pred"))
-    byTrue.join(byPred, Seq("source"), "left")
-      .select(col("source"), col("n_true"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_correct"))
+    // the cut is a bounded driver collect (the medoid/IVF discipline; the
+    // collect is L², never corpus-sized). Second pass: the INTEGER margin
+    // sums (n_true / n_pred / n_correct) are plain Scala folds over the
+    // collected rows — exact long arithmetic, so nothing to drift — which
+    // deletes the two tiny-frame aggregation jobs and their join; only the
+    // DOUBLE metric algebra stays in Spark expressions (IEEE operation
+    // order pinned against the oracle, the mix-weights discipline), fed
+    // from a LocalRelation of the margins.
+    val confRows = nbClassify(docs(spark, dir), vocabSize).collect()
+    val nPred = confRows.groupBy(_.getString(1))
+      .map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
+    val margins = confRows.groupBy(_.getString(0)).toSeq.map { case (src, rs) =>
+      org.apache.spark.sql.Row(src,
+        rs.map(_.getLong(2)).sum,                                // n_true
+        nPred.getOrElse(src, 0L),                                // n_pred
+        rs.filter(_.getString(1) == src).map(_.getLong(2)).sum)  // n_correct
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_true",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_pred",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_correct",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(margins: _*), schema)
       .withColumn("recall_r",
         round(col("n_correct").cast("double") / col("n_true"), 6))
       .withColumn("precision_r",
@@ -705,7 +725,6 @@ object CurationQueries {
     * [[nbModelCollect]] used by the streaming scorer; StreamingSpec pins
     * the two paths result-identical). */
   def nbPredictions(d: DataFrame, vocabSize: Int): DataFrame = {
-    val n = d.count()
     val toks = nbTokens(d)
     // ONE corpus-token aggregation feeds both vocab selection (marginal
     // over labels) and the model counts — its output is vocabulary×L
@@ -732,8 +751,14 @@ object CurationQueries {
       .withColumn("weight",
         expr(s"length(bin(((c + 1) * 1073741824) div (total_l + $vocabSize))) - 1"))
       .select(col("label"), col("word"), col("weight"))
-    val prior = labels
-      .withColumn("prior", expr(s"length(bin((n_docs_l * 1073741824) div $n)) - 1"))
+    // N = Σ_label n_docs_l derived from the L-row labels aggregate as a
+    // 1-row broadcast (r6, second pass): the old `d.count()` was a separate
+    // driver action — its own job — billed to every NB-family construction.
+    // Same value (every doc has exactly one label row), same integer
+    // arithmetic, so priors are bit-identical.
+    val nTotal = labels.agg(sum(col("n_docs_l")).as("n_total"))
+    val prior = labels.crossJoin(broadcast(nTotal))
+      .withColumn("prior", expr("length(bin((n_docs_l * 1073741824) div n_total)) - 1"))
       .select(col("label"), col("prior"))
     val tf = toks.join(broadcast(vocab), "word")
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))

@@ -398,7 +398,11 @@ object QualityQueries {
   /** Core over any `(doc_id, text)` frame (QualitySpec hand-computes a
     * tiny corpus). */
   def corpusStats(d: DataFrame): DataFrame = {
-    val nDocs = d.count()
+    // n_docs folded in as a 1-row broadcast (r6, second pass): the old
+    // `d.count()` was a separate driver action per construction; the
+    // count-star subtree now rides as one more crossJoin dim alongside
+    // top10/ent. Same value, same output column.
+    val nd = d.agg(count(lit(1)).as("n_docs"))
     val wc = d.select(explode(filter(split(lower(col("text")), "\\s+"), x => x =!= lit(""))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val top10 = wc.orderBy(col("c").desc, col("w")).limit(10)
@@ -414,8 +418,9 @@ object QualityQueries {
         sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
       .crossJoin(broadcast(top10))
       .crossJoin(broadcast(ent))
+      .crossJoin(broadcast(nd))
       .select(
-        lit(nDocs).as("n_docs"),
+        col("n_docs"),
         col("n_tokens"), col("vocab_size"), col("n_hapax"), col("top10_mass"), col("ent_bits"),
         round(col("ent_bits").cast("double") / col("n_tokens"), 4).as("ent_r"))
   }

@@ -1201,7 +1201,13 @@ object TrainingDataQueries {
     * [[qHybridSearch]] (the sparse fusion leg): (doc_id, score,
     * n_terms_hit) for every document hitting ≥ 1 query term. */
   private def keywordScores(d: DataFrame, query: Seq[String]): DataFrame = {
-    val n = d.count()
+    // N folded into the idf branch as a 1-row broadcast (r6, second pass):
+    // the old `d.count()` was a separate driver action — a full job
+    // synchronization — billed to every keyword/hybrid construction; as a
+    // crossJoin(broadcast(·)) it rides inside the (already broadcast-built)
+    // idf subtree. Integer arithmetic unchanged: (n_docs * 1024) div df on
+    // the same value.
+    val nRow = d.agg(count(lit(1)).as("n_docs"))
     // tf (≤ one row per (doc, query term)) feeds BOTH the idf aggregation
     // and the scoring join, but both consumers sit above tf's IDENTICAL
     // (doc_id, word) exchange, so ReuseExchange/AQE stage caching runs the
@@ -1219,7 +1225,9 @@ object TrainingDataQueries {
           x => x.isInCollection(query))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-      .withColumn("idf", expr(s"length(bin(${n * 1024L} div df)) - 1"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("idf", expr("length(bin((n_docs * 1024) div df)) - 1"))
+      .select(col("word"), col("idf"))
     tf.join(broadcast(idf), "word")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("idf")).as("score"), count(lit(1)).as("n_terms_hit"))
@@ -1246,11 +1254,16 @@ object TrainingDataQueries {
             query: Seq[String] = Seq("hash", "join", "stream", "window", "vector"),
             k: Int = 20): DataFrame = {
     val d = docs(spark, dir)
-    val n = d.count()
     val words = d.select(col("doc_id"),
       filter(split(lower(col("text")), "\\s+"), x => x =!= lit("")).as("wl"))
-    val sumDl = words.select(size(col("wl")).cast("long").as("dl"))
-      .agg(sum(col("dl"))).collect()(0).getLong(0) // 1-row agg
+    // ONE bounded 1-row collect for BOTH corpus scalars (r6, second pass):
+    // N and Σdl come out of the same aggregation job — the old shape paid
+    // a separate `d.count()` action (its own job) before the Σdl job.
+    // Same values, same downstream arithmetic.
+    val statsRow = words.select(size(col("wl")).cast("long").as("dl"))
+      .agg(sum(col("dl")), count(lit(1))).collect()(0) // 1-row agg
+    val sumDl = statsRow.getLong(0)
+    val n = statsRow.getLong(1)
     val avgdl = sumDl.toDouble / n
     // TWO corpus tokenize passes, down from three (r6): the old shape
     // joined a separate per-doc length frame onto tf, re-splitting the
