@@ -68,6 +68,19 @@ object R6Probe {
     time("hits full (8 iters)") {
       graft.queries.GraphQueries.qHits(spark, dir).count()
     }
+    time("nb matrix count") {
+      graft.queries.CurationQueries.nbClassify(d, 256).count()
+    }
+    time("nb matrix collect") {
+      graft.queries.CurationQueries.nbClassify(d, 256).collect()
+    }
+    time("nb matrix noop") {
+      graft.queries.CurationQueries.nbClassify(d, 256)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("eval full (count)") {
+      graft.queries.CurationQueries.qClassifierEval(spark, dir).count()
+    }
     spark.stop()
   }
 }
