@@ -680,11 +680,11 @@ object CurationQueries {
     // deletes the two tiny-frame aggregation jobs and their join; only the
     // DOUBLE metric algebra stays in Spark expressions (IEEE operation
     // order pinned against the oracle, the mix-weights discipline), fed
-    // from a LocalRelation of the margins.
-    // the matrix aggregation WITHOUT nbClassify's presentation orderBy:
-    // the Scala folds below are order-insensitive and the output re-sorts
-    // by source, so the collect skips the range-sort exchange the sorted
-    // shape would pay (~0.25 s warm: the measured collect-vs-count gap).
+    // from a LocalRelation of the margins. The collect takes the matrix
+    // aggregation WITHOUT nbClassify's presentation orderBy: the folds are
+    // order-insensitive and the output re-sorts by source, so the
+    // range-sort exchange the sorted shape would pay is skipped
+    // (~0.25 s warm: the measured collect-vs-count gap, R6Probe).
     val confRows = nbPredictions(docs(spark, dir), vocabSize)
       .groupBy(col("source"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
