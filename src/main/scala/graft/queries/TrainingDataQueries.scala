@@ -1164,7 +1164,11 @@ object TrainingDataQueries {
     * tokens; no window, no global sort (the final orderBy is presentation
     * over the hit set). The postings are checkpointed once so the three
     * per-term branches don't re-tokenize the corpus (the xHostRank64
-    * lesson). */
+    * lesson). (r6 probe note: a lead-window-over-postings rewrite — one
+    * pass, no checkpoint, no joins — measured 0.331 s vs 0.308 s for this
+    * shape in a same-session steal-clean A/B (R6Probe): the per-doc
+    * window sort costs more than the checkpoint + equi-joins it saves.
+    * Reverted; both shapes shuffle only postings at any scale.) */
   def qPhraseSearch(spark: SparkSession, dir: String): DataFrame =
     phraseSearch(docs(spark, dir))
 
