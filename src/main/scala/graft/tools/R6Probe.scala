@@ -102,6 +102,20 @@ object R6Probe {
         .orderBy(col("doc_id")).count()
       ()
     }
+    // nb tokenizer predicate A/B: per-token regex vs translate char-set
+    time("nbtok rlike (noop)") {
+      d.select(col("doc_id"), col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          w => w.rlike("^[a-z0-9]+$"))).as("word"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("nbtok translate (noop)") {
+      d.select(col("doc_id"), col("source"),
+        explode(filter(split(lower(col("text")), "\\s+"),
+          w => w =!= lit("") &&
+            translate(w, "abcdefghijklmnopqrstuvwxyz0123456789", "") === lit(""))).as("word"))
+        .write.format("noop").mode("overwrite").save()
+    }
     time("phrase OLD (join+ckpt)") { phraseOld() }
     time("phrase NEW (lead window)") {
       graft.queries.TrainingDataQueries.qPhraseSearch(spark, dir).count()
